@@ -1,0 +1,83 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from wgsassign_tpu.io.beagle import (
+    filter_sites_to_common,
+    read_beagle,
+    to_legacy_matrix,
+)
+from wgsassign_tpu.io.ids import population_map, read_ids
+
+from conftest import BREEDING_BEAGLE, BREEDING_IDS, BREEDING_SUBSET_BEAGLE
+
+
+def test_read_beagle_shapes(breeding):
+    assert breeding.gl.shape == (449, 85, 2)
+    assert breeding.gl.dtype == np.float32
+    assert len(breeding.sample_names) == 85
+    assert len(breeding.site_names) == 449
+    assert breeding.sample_names[0] == "Ind0"
+    assert breeding.site_names[0].startswith("scaffold")
+
+
+def test_read_beagle_values(breeding):
+    # hand-decoded first data row of the bundled file
+    with gzip.open(BREEDING_BEAGLE, "rt") as f:
+        f.readline()
+        row = f.readline().split()
+    vals = np.array(row[3:], dtype=np.float32).reshape(85, 3)
+    np.testing.assert_array_equal(breeding.gl[0], vals[:, :2])
+    # triples are normalized
+    g2 = 1.0 - breeding.gl[:, :, 0] - breeding.gl[:, :, 1]
+    assert np.all(g2 > -1e-4)
+
+
+def test_legacy_matrix_roundtrip(breeding):
+    L = to_legacy_matrix(breeding)
+    assert L.shape == (449, 170)
+    np.testing.assert_array_equal(L[:, 0::2], breeding.gl[:, :, 0])
+    np.testing.assert_array_equal(L[:, 1::2], breeding.gl[:, :, 1])
+
+
+def test_site_intersection(breeding):
+    subset = read_beagle(str(BREEDING_SUBSET_BEAGLE))
+    assert subset.n_sites == 357
+    common = filter_sites_to_common(breeding, subset.site_names)
+    assert common.n_sites == 357
+    assert common.site_names == subset.site_names
+
+
+def test_population_map():
+    pm = read_ids(str(BREEDING_IDS))
+    assert pm.n_inds == 85
+    assert list(pm.pops) == ["Newfoundland", "Northeast", "Northwest", "South", "SouthDakota"]
+    assert pm.pop_sizes.tolist() == [14, 20, 15, 23, 13]
+    assert pm.membership.sum() == 85
+    np.testing.assert_array_equal(pm.membership.argmax(axis=1), pm.pop_index)
+
+
+def test_population_map_membership_order():
+    pm = population_map(["a", "b", "c", "d"], ["z", "y", "z", "y"])
+    assert list(pm.pops) == ["y", "z"]
+    np.testing.assert_array_equal(pm.pop_index, [1, 0, 1, 0])
+    np.testing.assert_array_equal(pm.members_of("y"), [1, 3])
+
+
+def test_malformed_beagle(tmp_path):
+    p = tmp_path / "bad.beagle.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("marker\tallele1\tallele2\tInd0\tInd0\n")  # 2 GL cols: invalid
+        f.write("s1\t0\t1\t0.5\t0.5\n")
+    with pytest.raises(ValueError, match="Malformed Beagle header"):
+        read_beagle(str(p))
+
+
+def test_ragged_beagle_rows(tmp_path):
+    p = tmp_path / "ragged.beagle.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("marker\tallele1\tallele2\tInd0\tInd0\tInd0\n")
+        f.write("s1\t0\t1\t0.5\t0.5\t0.0\t0.7\n")
+    with pytest.raises(Exception):
+        read_beagle(str(p))

@@ -1,0 +1,143 @@
+"""Gzipped-Beagle genotype-likelihood ingest.
+
+File contract (ANGSD Beagle output; see reference reader_cy.pyx:16-77 for the
+behavior being reproduced):
+
+- header row: ``marker  allele1  allele2`` then 3 columns per individual, each
+  triple labelled with the individual's sample name;
+- each data row: site name (``chr_pos``), two allele codes, then the three
+  genotype likelihoods ``P(D|g=0), P(D|g=1), P(D|g=2)`` per individual,
+  normalized to sum to 1.
+
+In-memory model: we keep ``gl`` as float32 ``[M_sites, N_inds, 2]`` holding
+GL(g=0) and GL(g=1); GL(g=2) is reconstructed in-register as ``1 - g0 - g1``
+everywhere downstream (same 2-of-3 contract as the reference's ``[M, 2N]``
+matrix, laid out for TPU-friendly batched ops).
+
+Two parsers are provided:
+
+- a native C++ streaming parser (``wgsassign_tpu._native``): zlib inflate +
+  overlapped chunked tokenization, used when the extension is built;
+- a pure-Python/pandas fallback with identical results.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class BeagleData:
+    """Parsed Beagle matrix.
+
+    Attributes:
+      gl: float32 ``[M, N, 2]`` — GL(g=0), GL(g=1) per (site, individual).
+      sample_names: length-N list (may contain duplicates, as in ANGSD output).
+      site_names: length-M list of ``chr_pos`` marker names.
+    """
+
+    gl: np.ndarray
+    sample_names: List[str]
+    site_names: List[str]
+
+    @property
+    def n_sites(self) -> int:
+        return self.gl.shape[0]
+
+    @property
+    def n_inds(self) -> int:
+        return self.gl.shape[1]
+
+    def filter_sites(self, keep_mask: np.ndarray) -> "BeagleData":
+        """Row-subset by boolean mask, preserving order."""
+        keep_mask = np.asarray(keep_mask, dtype=bool)
+        sites = [s for s, k in zip(self.site_names, keep_mask) if k]
+        return BeagleData(self.gl[keep_mask], list(self.sample_names), sites)
+
+
+def _open_maybe_gzip(path: str) -> _io.BufferedReader:
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f)  # type: ignore[return-value]
+    return f
+
+
+def _read_beagle_python(path: str) -> BeagleData:
+    """Pure-Python parser (pandas C engine for the float block)."""
+    import pandas as pd
+
+    with _open_maybe_gzip(path) as f:
+        header = f.readline().decode()
+        tokens = header.split()
+        n_cols = len(tokens)
+        if n_cols < 3 or (n_cols - 3) % 3 != 0:
+            raise ValueError(
+                f"Malformed Beagle header in {path}: {n_cols} columns "
+                "(expected 3 + 3*N_individuals)"
+            )
+        sample_names = tokens[3::3]
+        n_inds = len(sample_names)
+        df = pd.read_csv(
+            f,
+            sep="\t",
+            header=None,
+            dtype={0: str},
+            na_filter=False,
+        )
+    if df.shape[1] != n_cols:
+        raise ValueError(
+            f"Malformed Beagle body in {path}: rows have {df.shape[1]} columns, "
+            f"header has {n_cols}"
+        )
+    site_names = df.iloc[:, 0].tolist()
+    body = df.iloc[:, 3:].to_numpy(dtype=np.float32)
+    m = body.shape[0]
+    gl3 = body.reshape(m, n_inds, 3)
+    gl = np.ascontiguousarray(gl3[:, :, :2])
+    return BeagleData(gl, sample_names, site_names)
+
+
+def read_beagle(path: str, use_native: bool = True) -> BeagleData:
+    """Parse a (gzipped) Beagle file into a :class:`BeagleData`.
+
+    Prefers the native C++ streaming parser when available; falls back to the
+    pure-Python implementation.
+    """
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    if use_native:
+        try:
+            from wgsassign_tpu._native import read_beagle_native
+
+            result = read_beagle_native(path)
+            if result is not None:
+                return result
+        except ImportError:
+            pass
+    return _read_beagle_python(path)
+
+
+def filter_sites_to_common(data: BeagleData, target_site_names) -> BeagleData:
+    """Keep only sites whose name appears in ``target_site_names`` (order
+    preserved).  Mirrors reference utils.py:22-42."""
+    target = set(target_site_names)
+    mask = np.fromiter((s in target for s in data.site_names), dtype=bool, count=data.n_sites)
+    num_filtered = int((~mask).sum())
+    if num_filtered > 0:
+        print(f"\tFiltered out {num_filtered} sites not present in the target site list.")
+    return data.filter_sites(mask)
+
+
+def to_legacy_matrix(data: BeagleData) -> np.ndarray:
+    """Return the reference's ``[M, 2N]`` float32 layout (columns alternate
+    GL(g=0), GL(g=1) per individual) — used only for compat checks/tests."""
+    m, n, _ = data.gl.shape
+    return np.ascontiguousarray(data.gl.reshape(m, 2 * n))

@@ -1,0 +1,144 @@
+"""Leave-one-out cross-validated assignment (``--loo``).
+
+Reference semantics (glassy.loo, glassy.py:47-112): for each individual i,
+re-estimate its own population's AF with i left out (a full EM re-run),
+clamp, write it into the shared AF matrix **in place**, then evaluate i's
+log-likelihood to all K populations.  Because of the in-place write, the AF
+column used for a *foreign* population j is the LOO AF of the most recently
+processed member of j (the last j-member with index <= i), falling back to
+the full-data AF when no j-member precedes i — an order-dependent quirk this
+implementation reproduces exactly (see SURVEY §2.5), batched:
+
+  * all N LOO EM problems run as K batched device computations (one per
+    population, ``em_maf_loo_group``), not N serial EM re-runs;
+  * the quirky AF selection becomes a static ``[N, K]`` column-index table
+    into a bank of (N LOO + K full-data) AF columns;
+  * all N*K log-likelihood sums run as one scanned device pass.
+
+``compat_af_mutation=False`` gives the statistically clean variant instead:
+foreign-population likelihoods always use the full-data AF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from wgsassign_tpu.io.beagle import BeagleData
+from wgsassign_tpu.io.ids import PopulationMap
+from wgsassign_tpu.models.common import DeviceCohort, pad_af_to, to_device
+from wgsassign_tpu.ops.emmaf import clamp_af, em_maf_loo_group
+from wgsassign_tpu.ops.loglik import (
+    assign_loglik_selected,
+    assign_loglik_selected_partitioned,
+)
+from wgsassign_tpu.parallel.mesh import Runtime
+
+
+@dataclass
+class LooResult:
+    ll: np.ndarray         # float32 [N, K]
+    parts: np.ndarray      # float32 [N * num_partitions, K] (partition sums)
+    iters: np.ndarray      # int32 [N] per-individual LOO EM convergence iteration
+    converged: np.ndarray  # bool [N]
+
+
+def loo_af_column_index(popmap: PopulationMap, compat_af_mutation: bool) -> np.ndarray:
+    """Column index into the AF bank ``[loo_0..loo_{N-1}, full_0..full_{K-1}]``
+    used for pair (individual i, population j)."""
+    n, k = popmap.n_inds, popmap.n_pops
+    col_idx = np.empty((n, k), dtype=np.int32)
+    all_inds = np.arange(n)
+    for j in range(k):
+        members = popmap.members_of(popmap.pops[j])
+        if compat_af_mutation:
+            # last member of pop j with index <= i (for i in pop j this is i
+            # itself); fall back to the full-data column when none precedes.
+            pos = np.searchsorted(members, all_inds, side="right") - 1
+            col = np.where(pos >= 0, members[np.clip(pos, 0, None)], n + j)
+        else:
+            # clean mode: own pop -> own LOO column; foreign -> full-data AF.
+            col = np.full(n, n + j, dtype=np.int64)
+            col[members] = members
+        col_idx[:, j] = col
+    return col_idx
+
+
+def leave_one_out(
+    beagle: BeagleData,
+    af_full: np.ndarray,
+    popmap: PopulationMap,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    downsampled: Optional[BeagleData] = None,
+    num_partitions: int = 1,
+    runtime: Optional[Runtime] = None,
+    cohort: Optional[DeviceCohort] = None,
+    compat_af_mutation: bool = True,
+    verbose: bool = False,
+) -> LooResult:
+    if cohort is None:
+        cohort = to_device(beagle, runtime, site_multiple=num_partitions)
+    rt = cohort.runtime
+    n = cohort.n_inds
+
+    sizes = popmap.pop_sizes
+    if np.any(sizes < 2):
+        bad = popmap.pops[sizes < 2]
+        raise ValueError(
+            f"Leave-one-out requires >= 2 individuals per population; too small: {bad}"
+        )
+
+    # --- batched LOO EM, one device computation per population -------------
+    af_loo = jnp.zeros((cohort.m_pad, n), dtype=jnp.float32)
+    iters = np.empty(n, dtype=np.int32)
+    converged = np.empty(n, dtype=bool)
+    for j, pop in enumerate(popmap.pops):
+        members = popmap.members_of(pop)
+        g0p = jnp.take(cohort.g0, members, axis=1)
+        g1p = jnp.take(cohort.g1, members, axis=1)
+        f_p, it_p, conv_p = em_maf_loo_group(
+            g0p, g1p, cohort.site_weight, cohort.m_real, max_iter, tol
+        )
+        f_p = clamp_af(f_p, sizes[j] - 1)
+        af_loo = af_loo.at[:, members].set(f_p)
+        iters[members] = np.asarray(it_p)
+        converged[members] = np.asarray(conv_p)
+        if verbose:
+            print(f"LOO EM for population {pop}: {len(members)} problems, "
+                  f"iterations {np.asarray(it_p).min()}..{np.asarray(it_p).max()}")
+
+    # --- AF bank + per-(i, k) column selection -----------------------------
+    af_full_dev = rt.shard_sites(
+        pad_af_to(np.asarray(af_full, np.float32), cohort.m_pad)
+    )
+    bank = jnp.concatenate([af_loo, af_full_dev], axis=1)  # [M_pad, N+K]
+    col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
+
+    # --- likelihood evaluation (optionally on the downsampled GLs) ---------
+    if downsampled is not None:
+        src = to_device(downsampled, rt, site_multiple=num_partitions)
+        if src.m_pad != cohort.m_pad or src.m_real != cohort.m_real:
+            raise ValueError(
+                "Downsampled Beagle must cover the same sites as the reference "
+                "after intersection"
+            )
+    else:
+        src = cohort
+
+    if num_partitions <= 1:
+        ll = assign_loglik_selected(src.g0, src.g1, bank, col_idx, src.site_weight)
+        ll = np.asarray(ll, dtype=np.float32)
+        parts = ll.reshape(n * 1, -1)
+    else:
+        ll_d, parts_d = assign_loglik_selected_partitioned(
+            src.g0, src.g1, bank, col_idx, src.site_weight, num_partitions
+        )
+        ll = np.asarray(ll_d, dtype=np.float32)
+        parts = np.asarray(parts_d, dtype=np.float32).reshape(
+            n * num_partitions, -1
+        )
+    return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)

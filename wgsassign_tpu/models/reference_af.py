@@ -1,0 +1,65 @@
+"""Reference-population allele-frequency estimation (``--get_reference_af``).
+
+Reproduces the reference driver block WGSassign.py:205-249: per-population
+MAF EM (emMAF.py:15-27) followed by clamping to ``[1/(2(n+1)), 1-1/(2(n+1))]``
+(WGSassign.py:236-240).  Unlike the reference's serial per-pop loop, all K
+populations run as one batched device computation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from wgsassign_tpu.io.beagle import BeagleData
+from wgsassign_tpu.io.ids import PopulationMap
+from wgsassign_tpu.models.common import DeviceCohort, to_device
+from wgsassign_tpu.ops.emmaf import clamp_af, em_maf_pops
+from wgsassign_tpu.parallel.mesh import Runtime
+
+
+@dataclass
+class ReferenceAFResult:
+    af: np.ndarray          # float32 [M, K], clamped
+    pops: np.ndarray        # [K] population names (sorted unique order)
+    iters: np.ndarray       # int32 [K] 1-based EM convergence iteration
+    converged: np.ndarray   # bool [K]
+
+
+def estimate_reference_af(
+    beagle: BeagleData,
+    popmap: PopulationMap,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    runtime: Optional[Runtime] = None,
+    cohort: Optional[DeviceCohort] = None,
+) -> ReferenceAFResult:
+    if beagle.n_inds != popmap.n_inds:
+        raise ValueError(
+            "Number of individuals in beagle and reference ID file do not match!"
+        )
+    if cohort is None:
+        cohort = to_device(beagle, runtime)
+    rt = cohort.runtime
+    membership = rt.replicate(popmap.membership)
+    pop_index = rt.replicate(popmap.pop_index)
+    f, iters, converged = em_maf_pops(
+        cohort.g0,
+        cohort.g1,
+        membership,
+        pop_index,
+        cohort.site_weight,
+        cohort.m_real,
+        max_iter,
+        tol,
+    )
+    f = clamp_af(f, popmap.pop_sizes)
+    af = np.asarray(f)[: cohort.m_real].astype(np.float32)
+    return ReferenceAFResult(
+        af=af,
+        pops=popmap.pops,
+        iters=np.asarray(iters),
+        converged=np.asarray(converged),
+    )

@@ -1,0 +1,204 @@
+"""Allele-frequency EM ops (the MAF EM of reference emMAF.py / emMAF_cy.pyx).
+
+Model: per site ``s`` with minor-allele frequency ``f`` under HWE, the
+genotype prior is ``P(g=0)=(1-f)^2, P(g=1)=2f(1-f), P(g=2)=f^2``.  The EM
+update over individuals with genotype likelihoods ``(g0, g1, g2=1-g0-g1)``:
+
+    w_i = (p1 + 2*p2) / (2*(p0 + p1 + p2)),  p_g = gl_g * P(g)
+    f'  = mean_i w_i
+
+(reference emMAF_cy.pyx:10-23).  Convergence: RMSE(f', f) < tol, all sites
+iterating together (reference emMAF.py:15-27).
+
+TPU design — instead of the reference's serial per-pop loop we run **all K
+populations' EMs simultaneously**:
+
+  * ``f`` is an ``[M, K]`` panel, sharded over the SNP axis;
+  * each individual's current AF is gathered with a one-hot matmul
+    ``f @ membership.T`` (exact — one nonzero per row);
+  * per-pop sums are the matmul ``w @ membership`` (MXU);
+  * per-pop convergence masks freeze finished populations so iteration
+    counts per pop match independent runs exactly.
+
+The leave-one-out variant batches all ``n_p`` LOO problems of one population
+as an ``[M, n_p]`` panel with an off-diagonal membership mask.
+
+All ops are pure jittable functions; cross-device reduction (the per-pop RMSE
+partials) is inserted automatically by GSPMD when inputs carry a SNP-axis
+sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def em_weights(g0, g1, f):
+    """Per-(site, individual) posterior expected minor-allele dosage / 2.
+
+    ``g0``/``g1`` and ``f`` must broadcast against each other.  Returns
+    ``(p1 + 2 p2) / (2 (p0 + p1 + p2))`` with ``g2 = 1 - g0 - g1``.
+    """
+    omf = 1.0 - f
+    p0 = g0 * omf * omf
+    p1 = g1 * 2.0 * f * omf
+    p2 = (1.0 - g0 - g1) * f * f
+    return (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))
+
+
+def _masked_rmse(f_new, f_old, site_weight, m_real):
+    """Per-column RMSE over real (unpadded) sites: sqrt(sum(w*(d^2))/m)."""
+    d = f_new - f_old
+    sq = jnp.sum(d * d * site_weight[:, None], axis=0)
+    return jnp.sqrt(sq / m_real)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter",)
+)
+def em_maf_pops(
+    g0: jax.Array,
+    g1: jax.Array,
+    membership: jax.Array,
+    pop_index: jax.Array,
+    site_weight: jax.Array,
+    m_real,
+    max_iter: int,
+    tol,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the MAF EM for all populations at once.
+
+    Args:
+      g0, g1: float32 ``[M, N]`` genotype likelihoods (M may be padded).
+      membership: float32 ``[N, K]`` one-hot population membership.
+      pop_index: int32 ``[N]`` population index per individual.
+      site_weight: float32 ``[M]`` — 1.0 for real sites, 0.0 for padding.
+      m_real: scalar — number of real sites (for the RMSE denominator).
+      max_iter: maximum EM iterations (reference default 200).
+      tol: RMSE convergence tolerance (reference default 1e-4).
+
+    Returns:
+      ``(f [M, K], iters [K] int32, converged [K] bool)`` where ``iters`` is
+      the 1-based iteration at which each population converged (or
+      ``max_iter`` if it did not).
+
+    Precision note: the per-individual AF lookup is a ``take`` (bit-exact),
+    and the member sum runs the MXU at ``Precision.HIGHEST`` — the TPU
+    default (bf16 passes) would quantize the EM trajectory far beyond the
+    1e-4 convergence tolerance.
+    """
+    m, n = g0.shape
+    k = membership.shape[1]
+    counts = jnp.sum(membership, axis=0)  # [K]
+    inv_counts = 1.0 / counts
+    tol = jnp.asarray(tol, _F32)
+    m_real = jnp.asarray(m_real, _F32)
+
+    f0 = jnp.full((m, k), 0.25, dtype=_F32)
+
+    def update(f):
+        f_ind = jnp.take(f, pop_index, axis=1)  # [M, N], exact gather
+        w = em_weights(g0, g1, f_ind)
+        return (
+            jnp.dot(w, membership, precision=jax.lax.Precision.HIGHEST)
+            * inv_counts
+        )
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(active))
+
+    def body(state):
+        f, active, iters, it = state
+        f_upd = update(f)
+        f_new = jnp.where(active[None, :], f_upd, f)
+        diff = _masked_rmse(f_new, f, site_weight, m_real)
+        newly = jnp.logical_and(active, diff < tol)
+        iters = jnp.where(newly, it + 1, iters)
+        active = jnp.logical_and(active, diff >= tol)
+        return f_new, active, iters, it + 1
+
+    state = (
+        f0,
+        jnp.ones((k,), dtype=bool),
+        jnp.full((k,), max_iter, dtype=jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    f, active, iters, _ = jax.lax.while_loop(cond, body, state)
+    return f, iters, jnp.logical_not(active)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def em_maf_loo_group(
+    g0p: jax.Array,
+    g1p: jax.Array,
+    site_weight: jax.Array,
+    m_real,
+    max_iter: int,
+    tol,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched leave-one-out MAF EM for one population.
+
+    For a population with members ``0..n_p-1`` (columns of ``g0p``/``g1p``,
+    shape ``[M, n_p]``), runs the ``n_p`` independent EMs in which member
+    ``j`` is left out, all at once.  Equivalent to the reference's N serial
+    full EM re-runs (glassy.py:65-89) but one batched computation.
+
+    Returns ``(f [M, n_p], iters [n_p], converged [n_p])`` — column ``j`` is
+    the leave-``j``-out allele frequency.
+    """
+    m, npop = g0p.shape
+    # mask[i, j] = 1 if member i participates in problem j (i != j)
+    mask = 1.0 - jnp.eye(npop, dtype=_F32)
+    inv_counts = 1.0 / (npop - 1.0)
+    tol = jnp.asarray(tol, _F32)
+    m_real = jnp.asarray(m_real, _F32)
+
+    f0 = jnp.full((m, npop), 0.25, dtype=_F32)
+
+    def update(f):
+        # w[s, i, j] = em weight of member i under problem j's current AF.
+        w = em_weights(g0p[:, :, None], g1p[:, :, None], f[:, None, :])
+        # Masked mean over members i != j.  The elementwise producer fuses
+        # into this reduction, so the [M, n_p, n_p] tensor never materializes.
+        return jnp.sum(w * mask[None, :, :], axis=1) * inv_counts
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(active))
+
+    def body(state):
+        f, active, iters, it = state
+        f_upd = update(f)
+        f_new = jnp.where(active[None, :], f_upd, f)
+        diff = _masked_rmse(f_new, f, site_weight, m_real)
+        newly = jnp.logical_and(active, diff < tol)
+        iters = jnp.where(newly, it + 1, iters)
+        active = jnp.logical_and(active, diff >= tol)
+        return f_new, active, iters, it + 1
+
+    state = (
+        f0,
+        jnp.ones((npop,), dtype=bool),
+        jnp.full((npop,), max_iter, dtype=jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    f, active, iters, _ = jax.lax.while_loop(cond, body, state)
+    return f, iters, jnp.logical_not(active)
+
+
+def clamp_af(f: jax.Array, n_pop) -> jax.Array:
+    """Clamp allele frequencies to ``[1/(2(n+1)), 1 - 1/(2(n+1))]``.
+
+    ``n_pop`` may be a scalar or a per-column ``[K]`` vector of sample sizes
+    (reference WGSassign.py:236-240, glassy.py:80-85).
+    """
+    n_pop = jnp.asarray(n_pop, _F32)
+    min_val = 1.0 / (2.0 * (n_pop + 1.0))
+    return jnp.clip(f, min_val, 1.0 - min_val)

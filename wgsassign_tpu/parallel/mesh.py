@@ -1,0 +1,107 @@
+"""Device mesh / sharding runtime.
+
+Parallelism model (replacing the reference's OpenMP ``prange`` over the SNP
+axis, emMAF_cy.pyx:16 etc.): a 1-D device mesh over axis ``"snp"``.  Genotype
+likelihood panels ``[M, N]`` and AF panels ``[M, K]`` are sharded on their
+site axis; membership matrices and per-pop scalars are replicated.  Every EM
+update is pointwise in M, so the only cross-device traffic is the tiny
+per-iteration convergence reduction and final log-likelihood sums — GSPMD
+inserts the ``psum`` collectives from the sharding annotations.
+
+Multi-host: ``jax.distributed.initialize`` + per-host shard loading composes
+with the same mesh (each process contributes its local devices).  Single
+device is the degenerate 1-mesh case — same code path throughout.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SNP_AXIS = "snp"
+
+# Pad values forming a valid, numerically safe GL triple / AF.
+PAD_G0 = 1.0
+PAD_G1 = 0.0
+PAD_AF = 0.5
+
+
+@dataclass
+class Runtime:
+    """Holds the mesh and sharding helpers for one engine instance."""
+
+    mesh: Mesh
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.size
+
+    # -- shardings ---------------------------------------------------------
+    def sites_sharding(self, ndim: int) -> NamedSharding:
+        """Shard dim 0 (sites) over the mesh; replicate the rest."""
+        spec = P(SNP_AXIS, *([None] * (ndim - 1)))
+        return NamedSharding(self.mesh, spec)
+
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_sites(self, x) -> jax.Array:
+        x = np.asarray(x)
+        return jax.device_put(x, self.sites_sharding(x.ndim))
+
+    def replicate(self, x) -> jax.Array:
+        return jax.device_put(np.asarray(x), self.replicated_sharding())
+
+    # -- padding -----------------------------------------------------------
+    def site_multiple(self, extra: int = 1) -> int:
+        """Sites must be padded to a multiple of (n_devices * extra)."""
+        return self.n_devices * extra
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return self.mesh.devices.flat[0].platform == "tpu"
+
+
+def pad_sites(arr: np.ndarray, multiple: int, pad_value: float) -> np.ndarray:
+    """Pad dim 0 up to a multiple; returns the padded array."""
+    m = arr.shape[0]
+    m_pad = math.ceil(m / multiple) * multiple if multiple > 1 else m
+    if m_pad == m:
+        return arr
+    pad_width = [(0, m_pad - m)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_width, constant_values=pad_value)
+
+
+def site_weight_vector(m_real: int, m_pad: int) -> np.ndarray:
+    w = np.zeros(m_pad, dtype=np.float32)
+    w[:m_real] = 1.0
+    return w
+
+
+def make_runtime(
+    devices: Optional[Sequence] = None, use_pallas: Optional[bool] = None
+) -> Runtime:
+    """Build a 1-D SNP-axis mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), (SNP_AXIS,))
+    return Runtime(mesh=mesh, use_pallas=use_pallas)
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed when launched under a multi-host
+    coordinator (env-var driven; no-op for single-process runs)."""
+    if os.environ.get("WGSA_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["WGSA_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["WGSA_NUM_PROCESSES"]),
+            process_id=int(os.environ["WGSA_PROCESS_ID"]),
+        )
