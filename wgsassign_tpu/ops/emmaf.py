@@ -14,9 +14,9 @@ TPU design — instead of the reference's serial per-pop loop we run **all K
 populations' EMs simultaneously**:
 
   * ``f`` is an ``[M, K]`` panel, sharded over the SNP axis;
-  * each individual's current AF is gathered with a one-hot matmul
-    ``f @ membership.T`` (exact — one nonzero per row);
-  * per-pop sums are the matmul ``w @ membership`` (MXU);
+  * each individual's current AF is a bit-exact ``take`` gather of its
+    population's column;
+  * per-pop sums are the matmul ``w @ membership`` (MXU, HIGHEST precision);
   * per-pop convergence masks freeze finished populations so iteration
     counts per pop match independent runs exactly.
 
@@ -37,6 +37,14 @@ import jax
 import jax.numpy as jnp
 
 _F32 = jnp.float32
+
+# The EM iterate lives in the open interval (0, 1): at f == 1.0 exactly the
+# weight denominator g0(1-f)^2 + 2 g1 f(1-f) + g2 f^2 vanishes for members
+# with g2 == 0 (0/0 -> NaN), and float32 rounding of the member mean *can*
+# land exactly on 1.0.  Clipping each update one ulp-scale inside the
+# interval keeps the denominator provably positive without perturbing the
+# trajectory at the 1e-4 convergence tolerance.
+_EM_EPS = 1e-7
 
 
 def em_weights(g0, g1, f):
@@ -105,10 +113,11 @@ def em_maf_pops(
     def update(f):
         f_ind = jnp.take(f, pop_index, axis=1)  # [M, N], exact gather
         w = em_weights(g0, g1, f_ind)
-        return (
+        f_new = (
             jnp.dot(w, membership, precision=jax.lax.Precision.HIGHEST)
             * inv_counts
         )
+        return jnp.clip(f_new, _EM_EPS, 1.0 - _EM_EPS)
 
     def cond(state):
         _, active, _, it = state
@@ -167,7 +176,8 @@ def em_maf_loo_group(
         w = em_weights(g0p[:, :, None], g1p[:, :, None], f[:, None, :])
         # Masked mean over members i != j.  The elementwise producer fuses
         # into this reduction, so the [M, n_p, n_p] tensor never materializes.
-        return jnp.sum(w * mask[None, :, :], axis=1) * inv_counts
+        f_new = jnp.sum(w * mask[None, :, :], axis=1) * inv_counts
+        return jnp.clip(f_new, _EM_EPS, 1.0 - _EM_EPS)
 
     def cond(state):
         _, active, _, it = state
