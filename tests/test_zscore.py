@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from conftest import GOLDEN_DIR
+
+from wgsassign_tpu.io.ad import read_allele_depths
+from wgsassign_tpu.models.zscore import (
+    FilteringError,
+    assignment_z_scores,
+    build_combo_tables,
+    reference_z_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def breeding_ad():
+    return read_allele_depths(str(GOLDEN_DIR / "breeding_ad.txt.gz"))
+
+
+@pytest.fixture(scope="module")
+def nonbreeding_ad():
+    return read_allele_depths(str(GOLDEN_DIR / "nonbreeding_ad.txt.gz"))
+
+
+def test_reference_z_matches_golden(breeding, breeding_ids, breeding_ad):
+    golden = np.load(GOLDEN_DIR / "zscore_reference.npz")
+    res = reference_z_scores(
+        breeding, breeding_ad, breeding_ids, n_threshold=int(golden["threshold"])
+    )
+    np.testing.assert_array_equal(res.loci, golden["loci"])
+    np.testing.assert_allclose(res.z, golden["z"], rtol=2e-3, atol=2e-3)
+
+
+def test_assignment_z_matches_golden(nonbreeding, nonbreeding_ad):
+    golden = np.load(GOLDEN_DIR / "zscore_assignment.npz")
+    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
+    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
+    ids = np.loadtxt(
+        GOLDEN_DIR / "nonbreeding_assigned_ids.txt", delimiter="\t", dtype=str
+    )
+    res = assignment_z_scores(
+        nonbreeding,
+        nonbreeding_ad,
+        ids[:, 1],
+        af,
+        pops,
+        n_threshold=int(golden["threshold"]),
+    )
+    np.testing.assert_array_equal(res.loci, golden["loci"])
+    np.testing.assert_allclose(res.z, golden["z"], rtol=2e-3, atol=2e-3)
+
+
+def test_ind_range(nonbreeding, nonbreeding_ad):
+    golden = np.load(GOLDEN_DIR / "zscore_assignment.npz")
+    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
+    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
+    ids = np.loadtxt(
+        GOLDEN_DIR / "nonbreeding_assigned_ids.txt", delimiter="\t", dtype=str
+    )
+    res = assignment_z_scores(
+        nonbreeding, nonbreeding_ad, ids[:, 1], af, pops,
+        ind_start=3, ind_end=5, n_threshold=int(golden["threshold"]),
+    )
+    np.testing.assert_allclose(res.z, golden["z"][3:5], rtol=2e-3, atol=2e-3)
+
+
+def test_combo_tables_depth_classes(breeding, breeding_ad):
+    """Every kept depth class must contain all of its D+1 splits."""
+    t = build_combo_tables(
+        breeding.gl[:, 0, :], breeding_ad[:, 0:2], n_threshold=5,
+        single_read_threshold=False,
+    )
+    combos = {(int(a), int(b)) for a, b in t.combos}
+    for d in np.unique(t.combos.sum(axis=1)):
+        for x in range(int(d) + 1):
+            assert (int(d - x), int(x)) in combos
+
+
+def test_single_read_threshold(breeding, breeding_ad):
+    t = build_combo_tables(
+        breeding.gl[:, 0, :], breeding_ad[:, 0:2], n_threshold=0,
+        single_read_threshold=True,
+    )
+    assert set(t.combos.sum(axis=1)) == {1}
+
+
+def test_too_stringent_raises(breeding, breeding_ad):
+    with pytest.raises(FilteringError):
+        build_combo_tables(
+            breeding.gl[:, 0, :], breeding_ad[:, 0:2], n_threshold=10**9,
+            single_read_threshold=False,
+        )

@@ -1,0 +1,75 @@
+"""Device kernels for the z-score statistic (reference zscore_cy.pyx).
+
+Per kept site ``s`` of individual ``i`` with AF ``a`` and HWE genotype prior
+``P = [(1-a)^2, 2a(1-a), a^2]``:
+
+  observed:   W_obs  = sum_s log( GL_s · P_s )
+  expected:   W_mu_s = sum_{splits c of depth D_s} lg(s,c) * wt(s,c)
+  variance:   V_s    = sum_c (W_mu_s - lg(s,c))^2 * wt(s,c)
+
+where for combo row c of the depth table,
+
+  lg(s,c) = log( meanGL[c] · P_s )          (zscore_cy.pyx:31)
+  wt(s,c) = P_s · readProb[c]               (zscore_cy.pyx:32-34)
+
+and the final statistic is Z = (W_obs - ΣW_mu) / sqrt(ΣV)
+(reference WGSassign.py:367-371).
+
+The reference's per-site serial loop over depth splits becomes a static
+``[S, C]`` gather from the (tiny) combo tables: the host precomputes, per
+site, the table rows of all splits of its depth (``split_rows``) plus a
+validity mask, both padded to a bucketed ``C`` so recompilation is bounded.
+
+Note on the reference's transposed table lookup (``AD_index[Aa, Ar]`` vs the
+``[Ar, Aa]`` build — zscore.py:71 / zscore_cy.pyx:30): because every split of
+a kept depth is present, the transposed read only permutes the summation
+order over splits, so totals are identical; we index consistently (and avoid
+the reference's out-of-bounds read on non-square tables).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+@jax.jit
+def zscore_sums(g0k, g1k, a, weight, split_rows, split_mask, like_tab, fact_tab):
+    """Masked sums for the z statistic.
+
+    Args:
+      g0k, g1k: float32 ``[S]`` kept-site GLs of the individual (padded).
+      a: float32 ``[S]`` AF at kept sites (own-pop LOO or assigned-pop).
+      weight: float32 ``[S]`` 1.0 for real kept sites.
+      split_rows: int32 ``[S, C]`` combo-table row of each split of the
+        site's depth (padding -> 0).
+      split_mask: float32 ``[S, C]`` validity of each split entry.
+      like_tab: float32 ``[R, 3]`` per-combo mean GL triple.
+      fact_tab: float32 ``[R, 3]`` per-combo read probability under each
+        genotype.
+
+    Returns: ``(w_obs, w_mu, w_var)`` scalars (float32).
+    """
+    p0 = (1.0 - a) * (1.0 - a)
+    p1 = 2.0 * (1.0 - a) * a
+    p2 = a * a
+
+    w_obs_site = jnp.log(g0k * p0 + g1k * p1 + (1.0 - g0k - g1k) * p2)
+
+    mg = like_tab[split_rows]  # [S, C, 3]
+    rp = fact_tab[split_rows]  # [S, C, 3]
+    lg = jnp.log(
+        mg[..., 0] * p0[:, None] + mg[..., 1] * p1[:, None] + mg[..., 2] * p2[:, None]
+    )
+    wt = (
+        rp[..., 0] * p0[:, None] + rp[..., 1] * p1[:, None] + rp[..., 2] * p2[:, None]
+    ) * split_mask
+    w_mu_site = jnp.sum(lg * wt, axis=1)
+    w_var_site = jnp.sum((w_mu_site[:, None] - lg) ** 2 * wt, axis=1)
+
+    w_obs = jnp.sum(w_obs_site * weight)
+    w_mu = jnp.sum(w_mu_site * weight)
+    w_var = jnp.sum(w_var_site * weight)
+    return w_obs, w_mu, w_var
