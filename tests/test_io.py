@@ -81,3 +81,45 @@ def test_ragged_beagle_rows(tmp_path):
         f.write("s1\t0\t1\t0.5\t0.5\t0.0\t0.7\n")
     with pytest.raises(Exception):
         read_beagle(str(p))
+
+
+def test_native_loader_matches_python():
+    from wgsassign_tpu._native import read_beagle_native
+    from wgsassign_tpu.io.beagle import _read_beagle_python
+
+    native = read_beagle_native(str(BREEDING_BEAGLE))
+    if native is None:
+        pytest.skip("native loader unavailable (no toolchain)")
+    py = _read_beagle_python(str(BREEDING_BEAGLE))
+    np.testing.assert_array_equal(native.gl, py.gl)
+    assert native.sample_names == py.sample_names
+    assert native.site_names == py.site_names
+
+
+def test_native_loader_malformed(tmp_path):
+    from wgsassign_tpu._native import read_beagle_native
+
+    if read_beagle_native(str(BREEDING_BEAGLE)) is None:
+        pytest.skip("native loader unavailable")
+    p = tmp_path / "bad.beagle.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("marker\tallele1\tallele2\tInd0\tInd0\tInd0\n")
+        f.write("s1\t0\t1\t0.5\t0.5\n")  # short row
+    with pytest.raises(ValueError, match="Malformed"):
+        read_beagle_native(str(p))
+
+
+def test_native_loader_plain_text(tmp_path):
+    """zlib's gzopen reads uncompressed files transparently too."""
+    from wgsassign_tpu._native import read_beagle_native
+
+    if read_beagle_native(str(BREEDING_BEAGLE)) is None:
+        pytest.skip("native loader unavailable")
+    p = tmp_path / "plain.beagle"
+    with open(p, "w") as f:
+        f.write("marker\tallele1\tallele2\tInd0\tInd0\tInd0\n")
+        f.write("s1\t0\t1\t0.25\t0.5\t0.25\n")
+        f.write("s2\t0\t1\t1\t0\t0\n")
+    d = read_beagle_native(str(p))
+    assert d.site_names == ["s1", "s2"]
+    np.testing.assert_allclose(d.gl[:, 0, :], [[0.25, 0.5], [1.0, 0.0]])

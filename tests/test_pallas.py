@@ -1,0 +1,57 @@
+"""Fused Pallas EM vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from wgsassign_tpu.ops.emmaf import em_maf_pops
+from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
+
+
+def _problem(m=96, n=24, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    raw = rng.dirichlet(np.ones(3), size=(m, n)).astype(np.float32)
+    g0, g1 = raw[:, :, 0], raw[:, :, 1]
+    pop_index = (np.arange(n) % k).astype(np.int32)
+    membership = np.zeros((n, k), dtype=np.float32)
+    membership[np.arange(n), pop_index] = 1.0
+    sw = np.ones(m, dtype=np.float32)
+    return g0, g1, membership, pop_index, sw
+
+
+@pytest.mark.parametrize("tol,max_iter,chunk", [
+    (1e-4, 200, 16),   # normal convergence, mid-chunk crossings + replay
+    (0.0, 12, 5),      # fixed iterations, uneven final chunk
+    (1e-2, 200, 64),   # fast convergence inside the first chunk
+])
+def test_fused_matches_xla(tol, max_iter, chunk):
+    g0, g1, membership, pop_index, sw = _problem()
+    m = g0.shape[0]
+    f_ref, iters_ref, conv_ref = em_maf_pops(
+        g0, g1, membership, pop_index, sw, m, max_iter, tol
+    )
+    f, iters, conv = em_maf_pops_fused(
+        g0, g1, membership, sw, m, max_iter, tol, chunk=chunk, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
+    )
+
+
+def test_fused_with_padding_mask():
+    """Padded sites must not influence convergence decisions."""
+    g0, g1, membership, pop_index, sw = _problem(m=64)
+    g0p = np.concatenate([g0, np.ones((32, g0.shape[1]), np.float32)])
+    g1p = np.concatenate([g1, np.zeros((32, g1.shape[1]), np.float32)])
+    swp = np.concatenate([sw, np.zeros(32, np.float32)])
+    f_ref, iters_ref, _ = em_maf_pops(
+        g0, g1, membership, pop_index, sw, 64, 200, 1e-4
+    )
+    f, iters, _ = em_maf_pops_fused(
+        g0p, g1p, membership, swp, 64, 200, 1e-4, chunk=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_allclose(
+        np.asarray(f)[:64], np.asarray(f_ref), rtol=0, atol=2e-6
+    )

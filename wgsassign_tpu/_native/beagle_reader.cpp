@@ -1,0 +1,297 @@
+// Native streaming gzipped-Beagle parser.
+//
+// Replaces the reference's reader (reader_cy.pyx:16-77: `gunzip -c`
+// subprocess + single-threaded strtok/atof) with an in-process zlib inflate
+// stream feeding a pool of parser threads.  The producer thread decompresses
+// into newline-aligned chunks; worker threads tokenize rows into per-chunk
+// arenas (fast fixed-format float parsing with strtod fallback); chunks are
+// concatenated in order into the final [M, 2N] float32 block (GL of
+// genotype 2 is dropped — it is reconstructed as 1-g0-g1 downstream, the
+// same 2-of-3 storage contract as the reference).
+//
+// C ABI (consumed from Python via ctypes):
+//   beagle_read(path, n_threads) -> BeagleResult*   (NULL on open failure)
+//   beagle_free(result)
+//
+// Build: g++ -O3 -shared -fPIC beagle_reader.cpp -lz -lpthread
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr size_t kChunkSize = 8u << 20;  // decompressed bytes per work unit
+
+struct Chunk {
+  std::string data;           // newline-aligned decompressed text
+  std::vector<float> gl;      // parsed floats (2 per individual per row)
+  std::string sites;          // '\n'-joined marker names
+  int64_t rows = 0;
+  std::string error;
+};
+
+// Fast float parse for the common fixed-format case ("0.799992",
+// "-1.5e-3"); falls back to strtod for anything unusual.  Returns nullptr
+// when no token is present before `end` (short row).
+inline const char* parse_float(const char* p, const char* end, float* out) {
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  if (p >= end || *p == '\n' || *p == '\r') return nullptr;
+  const char* start = p;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t mant = 0;
+  int digits = 0;
+  while (p < end && *p >= '0' && *p <= '9') {
+    mant = mant * 10 + (*p - '0');
+    ++digits;
+    ++p;
+  }
+  int exp10 = 0;
+  if (p < end && *p == '.') {
+    ++p;
+    while (p < end && *p >= '0' && *p <= '9') {
+      mant = mant * 10 + (*p - '0');
+      --exp10;
+      ++digits;
+      ++p;
+    }
+  }
+  if (digits == 0 || digits > 17 ||
+      (p < end && (*p == 'e' || *p == 'E' || *p == 'n' || *p == 'N' ||
+                   *p == 'i' || *p == 'I'))) {
+    // strtod skips leading whitespace including newlines, so bound it to
+    // this line by copying the token.
+    const char* tok_end = start;
+    while (tok_end < end && *tok_end != ' ' && *tok_end != '\t' &&
+           *tok_end != '\n' && *tok_end != '\r')
+      ++tok_end;
+    std::string tok(start, tok_end - start);
+    char* q = nullptr;
+    double v = strtod(tok.c_str(), &q);
+    if (q == tok.c_str()) return nullptr;  // not a number
+    *out = static_cast<float>(v);
+    return tok_end;
+  }
+  static const double kPow10[] = {1e0,  1e-1, 1e-2, 1e-3, 1e-4, 1e-5,
+                                  1e-6, 1e-7, 1e-8, 1e-9, 1e-10, 1e-11,
+                                  1e-12, 1e-13, 1e-14, 1e-15, 1e-16, 1e-17};
+  double v = static_cast<double>(mant) * kPow10[-exp10];
+  *out = static_cast<float>(neg ? -v : v);
+  return p;
+}
+
+inline const char* skip_token(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;
+  return p;
+}
+
+void parse_chunk(Chunk* chunk, int64_t n_inds) {
+  const char* p = chunk->data.data();
+  const char* end = p + chunk->data.size();
+  chunk->gl.reserve((chunk->data.size() / 8));
+  while (p < end) {
+    const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!line_end) line_end = end;
+    // marker token
+    const char* tok_start = p;
+    while (tok_start < line_end && (*tok_start == ' ' || *tok_start == '\t'))
+      ++tok_start;
+    const char* tok_end = skip_token(tok_start, line_end);
+    if (tok_end == tok_start) {  // blank line
+      p = line_end + 1;
+      continue;
+    }
+    chunk->sites.append(tok_start, tok_end - tok_start);
+    chunk->sites.push_back('\n');
+    // skip allele1, allele2
+    const char* q = skip_token(tok_end, line_end);
+    q = skip_token(q, line_end);
+    // 3 GLs per individual; keep the first two
+    for (int64_t i = 0; i < n_inds; ++i) {
+      float g0, g1, g2;
+      const char* a = parse_float(q, line_end, &g0);
+      const char* b = a ? parse_float(a, line_end, &g1) : nullptr;
+      const char* c = b ? parse_float(b, line_end, &g2) : nullptr;
+      if (!c) {
+        chunk->error = "row has fewer/invalid columns vs the header";
+        return;
+      }
+      q = c;
+      chunk->gl.push_back(g0);
+      chunk->gl.push_back(g1);
+    }
+    // column-count check: nothing but whitespace may remain
+    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q != line_end) {
+      chunk->error = "row has more columns than the header";
+      return;
+    }
+    ++chunk->rows;
+    p = line_end + 1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct BeagleResult {
+  int64_t m = 0;        // sites
+  int64_t n = 0;        // individuals
+  float* gl = nullptr;  // [m, 2n]
+  char* sample_names = nullptr;  // '\n'-joined
+  char* site_names = nullptr;    // '\n'-joined
+  char* error = nullptr;
+};
+
+void beagle_free(BeagleResult* r) {
+  if (!r) return;
+  free(r->gl);
+  free(r->sample_names);
+  free(r->site_names);
+  free(r->error);
+  delete r;
+}
+
+static BeagleResult* fail(BeagleResult* r, const std::string& msg) {
+  r->error = strdup(msg.c_str());
+  return r;
+}
+
+BeagleResult* beagle_read(const char* path, int n_threads) {
+  BeagleResult* r = new BeagleResult();
+  gzFile f = gzopen(path, "rb");
+  if (!f) return fail(r, std::string("cannot open ") + path);
+  gzbuffer(f, 1u << 20);
+  if (n_threads < 1) n_threads = 1;
+
+  // --- header ---
+  std::string header;
+  {
+    char buf[1 << 16];
+    for (;;) {
+      if (gzgets(f, buf, sizeof(buf)) == nullptr) {
+        gzclose(f);
+        return fail(r, "empty file or read error in header");
+      }
+      header += buf;
+      if (!header.empty() && header.back() == '\n') break;
+    }
+  }
+  int64_t n_cols = 0;
+  std::string samples;
+  {
+    const char* p = header.data();
+    const char* end = p + header.size();
+    int64_t idx = 0;
+    while (p < end) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+        ++p;
+      const char* tok = p;
+      p = skip_token(p, end);
+      if (p == tok) break;
+      if (idx >= 3 && (idx - 3) % 3 == 0) {
+        samples.append(tok, p - tok);
+        samples.push_back('\n');
+      }
+      ++idx;
+    }
+    n_cols = idx;
+  }
+  if (n_cols < 6 || (n_cols - 3) % 3 != 0) {
+    gzclose(f);
+    return fail(r, "Malformed Beagle header: expected 3 + 3*N columns");
+  }
+  const int64_t n_inds = (n_cols - 3) / 3;
+
+  // --- decompress into newline-aligned chunks, parse in worker threads ---
+  std::vector<Chunk*> chunks;
+  std::vector<std::thread> workers;
+  std::atomic<bool> had_error{false};
+  std::string carry;
+  std::vector<char> buf(kChunkSize);
+  for (;;) {
+    int got = gzread(f, buf.data(), buf.size());
+    if (got < 0) {
+      had_error = true;
+      for (auto& t : workers) t.join();
+      gzclose(f);
+      return fail(r, "gzip stream error");
+    }
+    if (got == 0) break;
+    std::string text = std::move(carry);
+    text.append(buf.data(), got);
+    size_t last_nl = text.find_last_of('\n');
+    if (last_nl == std::string::npos) {
+      carry = std::move(text);
+      continue;
+    }
+    carry = text.substr(last_nl + 1);
+    text.resize(last_nl + 1);
+    Chunk* c = new Chunk();
+    c->data = std::move(text);
+    chunks.push_back(c);
+    workers.emplace_back(parse_chunk, c, n_inds);
+    if (static_cast<int>(workers.size()) >= n_threads) {
+      workers.front().join();
+      workers.erase(workers.begin());
+    }
+  }
+  gzclose(f);
+  if (!carry.empty()) {  // final line without trailing newline
+    carry.push_back('\n');
+    Chunk* c = new Chunk();
+    c->data = std::move(carry);
+    chunks.push_back(c);
+    workers.emplace_back(parse_chunk, c, n_inds);
+  }
+  for (auto& t : workers) t.join();
+
+  // --- assemble ---
+  int64_t m = 0;
+  size_t sites_len = 0;
+  for (Chunk* c : chunks) {
+    if (!c->error.empty()) {
+      std::string msg = c->error;
+      for (Chunk* d : chunks) delete d;
+      return fail(r, "parse error: " + msg);
+    }
+    m += c->rows;
+    sites_len += c->sites.size();
+  }
+  r->m = m;
+  r->n = n_inds;
+  r->gl = static_cast<float*>(malloc(sizeof(float) * m * 2 * n_inds));
+  r->site_names = static_cast<char*>(malloc(sites_len + 1));
+  r->sample_names = strdup(samples.c_str());
+  if (!r->gl || !r->site_names || !r->sample_names) {
+    for (Chunk* d : chunks) delete d;
+    return fail(r, "out of memory");
+  }
+  float* gp = r->gl;
+  char* sp = r->site_names;
+  for (Chunk* c : chunks) {
+    memcpy(gp, c->gl.data(), c->gl.size() * sizeof(float));
+    gp += c->gl.size();
+    memcpy(sp, c->sites.data(), c->sites.size());
+    sp += c->sites.size();
+    delete c;
+  }
+  *sp = '\0';
+  return r;
+}
+
+}  // extern "C"

@@ -1,0 +1,207 @@
+"""Fused multi-iteration Pallas TPU kernel for the MAF EM.
+
+Why: the XLA path (ops/emmaf.py) re-reads the ``[M, N]`` GL panels from HBM
+on every EM iteration — ~8·M·N bytes/iter, which makes the EM
+bandwidth-bound (~1 iter per HBM sweep).  The per-site EM is *local*: an
+M-tile holding all N individuals can run any number of iterations entirely
+in VMEM.  This kernel loads each GL tile once and runs a chunk of T
+iterations on it, making the EM compute-bound (VPU) instead.
+
+Convergence semantics are preserved exactly (SURVEY §2.3: per-population
+global-RMSE stop, populations freeze independently):
+
+- the kernel also emits per-iteration, per-population squared-diff partial
+  sums ``sq[T, K]`` (accumulated across the tile grid), from which the host
+  reconstructs the exact RMSE sequence;
+- a per-population iteration-limit vector caps how many updates each
+  population takes inside a chunk, so when the RMSE sequence shows a
+  population converged mid-chunk, the driver replays that chunk from its
+  snapshot with exact limits — at most one replay per chunk, and only in
+  chunks where something converges.
+
+The per-individual AF gather and the member sums are unrolled over the K
+populations as exact float32 one-hot multiply-accumulates on the VPU (a
+bf16 MXU matmul would quantize the trajectory; K is small in this domain).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgsassign_tpu.ops.emmaf import _EM_EPS, em_weights
+
+_F32 = jnp.float32
+
+# VMEM working set per tile ~ 2 * tile_m * N * 4 bytes (GL panels) plus
+# small f/weight tiles; keep comfortably under the ~16 MB/core budget.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _tile_m(m: int, n: int) -> int:
+    tile = _VMEM_BUDGET_BYTES // (2 * 4 * max(n, 1))
+    tile = 1 << (int(tile).bit_length() - 1)  # floor to power of two
+    tile = max(64, min(tile, 2048))
+    while m % tile != 0 and tile > 8:
+        tile //= 2
+    return tile if m % tile == 0 else m  # fall back to one tile
+
+
+def _em_chunk_kernel(
+    g0_ref, g1_ref, f_ref, sw_ref, onehot_ref, limits_ref, fout_ref, sq_ref,
+    *, T: int, K: int, inv_counts: Tuple[float, ...],
+):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    g0 = g0_ref[:]
+    g1 = g1_ref[:]
+    sw = sw_ref[:]          # [tm, 1]
+    onehot = onehot_ref[:]  # [K, N]
+    limits = limits_ref[:]  # [1, K] float32 iteration limits per population
+    f = f_ref[:]            # [tm, K]
+
+    acc_rows = []
+    for t in range(T):
+        # per-individual AF: exact f32 one-hot gather, unrolled over K
+        f_ind = f[:, 0:1] * onehot[0:1, :]
+        for k in range(1, K):
+            f_ind += f[:, k : k + 1] * onehot[k : k + 1, :]
+        w = em_weights(g0, g1, f_ind)  # [tm, N]
+        cols = [
+            jnp.sum(w * onehot[k : k + 1, :], axis=1, keepdims=True)
+            * inv_counts[k]
+            for k in range(K)
+        ]
+        f_upd = jnp.clip(
+            jnp.concatenate(cols, axis=1), _EM_EPS, 1.0 - _EM_EPS
+        )
+        f_new = jnp.where(limits > float(t), f_upd, f)  # [1,K] vs scalar bcast
+        d = (f_new - f) * sw
+        acc_rows.append(jnp.sum(d * d, axis=0, keepdims=True))  # [1, K]
+        f = f_new
+
+    fout_ref[:] = f
+    sq_ref[:] += jnp.concatenate(acc_rows, axis=0)  # [T, K]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("inv_counts", "T", "interpret")
+)
+def em_chunk_pallas(g0, g1, f, site_weight, onehot, inv_counts, limits,
+                    T: int, interpret: bool = False):
+    """One chunk of T fused EM iterations.
+
+    Args:
+      g0, g1: float32 ``[M, N]`` (local shard).
+      f: float32 ``[M, K]`` current AF panel.
+      site_weight: float32 ``[M]``.
+      onehot: float32 ``[K, N]`` membership (transposed).
+      inv_counts: tuple of K floats, 1/pop_size (static).
+      limits: float32 ``[1, K]`` per-population update limits (<= T).
+      T: chunk length (static).
+
+    Returns ``(f_new [M, K], sq [T, K])`` — sq[t, k] is the weighted squared
+    diff sum of iteration t for population k over this shard.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n = g0.shape
+    k = f.shape[1]
+    tm = _tile_m(m, n)
+    grid = (m // tm,)
+    kernel = functools.partial(
+        _em_chunk_kernel, T=T, K=k, inv_counts=inv_counts
+    )
+    f_new, sq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), _F32),
+            jax.ShapeDtypeStruct((T, k), _F32),
+        ],
+        interpret=interpret,
+    )(g0, g1, f, site_weight.reshape(m, 1), onehot, limits)
+    return f_new, sq
+
+
+def em_maf_pops_fused(
+    g0,
+    g1,
+    membership: np.ndarray,
+    site_weight,
+    m_real: int,
+    max_iter: int,
+    tol: float,
+    chunk: int = 16,
+    interpret: bool = False,
+):
+    """Driver: chunked fused EM with exact reference convergence semantics.
+
+    Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_pops` (returns
+    ``(f [M, K], iters [K], converged [K])``) but host-orchestrated in chunks
+    of fused Pallas iterations.
+    """
+    membership = np.asarray(membership, np.float32)
+    n, k = membership.shape
+    counts = membership.sum(axis=0)
+    onehot = jnp.asarray(membership.T)  # [K, N]
+    inv_counts = tuple(float(1.0 / c) for c in counts)
+    m = g0.shape[0]
+
+    f = jnp.full((m, k), 0.25, dtype=_F32)
+    sw = jnp.asarray(site_weight, _F32)
+    iters = np.full(k, max_iter, dtype=np.int32)
+    active = np.ones(k, dtype=bool)
+    it = 0
+    while it < max_iter and active.any():
+        T = min(chunk, max_iter - it)
+        limits_vec = np.where(active, T, 0).astype(np.float32)
+        f_snapshot = f
+        f, sq = em_chunk_pallas(
+            g0, g1, f, sw, onehot, inv_counts,
+            jnp.asarray(limits_vec.reshape(1, k)), T, interpret=interpret,
+        )
+        rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))  # [T, K]
+        # first iteration (within chunk) at which each active pop converged
+        crossed = rmse < tol  # [T, K]
+        exact_limits = limits_vec.copy()
+        replay = False
+        for kk in range(k):
+            if not active[kk]:
+                continue
+            hits = np.flatnonzero(crossed[:T, kk])
+            if hits.size:
+                t_star = int(hits[0]) + 1  # updates taken when it converged
+                iters[kk] = it + t_star
+                active[kk] = False
+                if t_star < T:
+                    exact_limits[kk] = t_star
+                    replay = True
+        if replay:
+            f, _ = em_chunk_pallas(
+                g0, g1, f_snapshot, sw, onehot, inv_counts,
+                jnp.asarray(exact_limits.reshape(1, k)), T, interpret=interpret,
+            )
+        it += T
+    return f, jnp.asarray(iters), jnp.asarray(~active)
