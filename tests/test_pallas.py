@@ -55,3 +55,22 @@ def test_fused_with_padding_mask():
     np.testing.assert_allclose(
         np.asarray(f)[:64], np.asarray(f_ref), rtol=0, atol=2e-6
     )
+
+
+def test_reference_af_pallas_path_matches_golden(breeding, breeding_ids):
+    """The model-level Pallas route (interpret mode on CPU) hits the same
+    golden AF as the XLA route."""
+    import pathlib
+
+    import jax
+
+    from wgsassign_tpu.models.reference_af import estimate_reference_af
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    golden = np.load(
+        pathlib.Path(__file__).parent / "golden" / "ref_af.npz", allow_pickle=True
+    )
+    rt = make_runtime(jax.devices()[:1], use_pallas=True)
+    res = estimate_reference_af(breeding, breeding_ids, runtime=rt)
+    np.testing.assert_allclose(res.af, golden["af"], rtol=0, atol=2e-5)
+    assert res.converged.all()

@@ -43,18 +43,35 @@ def estimate_reference_af(
     if cohort is None:
         cohort = to_device(beagle, runtime)
     rt = cohort.runtime
-    membership = rt.replicate(popmap.membership)
-    pop_index = rt.replicate(popmap.pop_index)
-    f, iters, converged = em_maf_pops(
-        cohort.g0,
-        cohort.g1,
-        membership,
-        pop_index,
-        cohort.site_weight,
-        cohort.m_real,
-        max_iter,
-        tol,
-    )
+    if rt.pallas_enabled() and rt.n_devices == 1:
+        # fused multi-iteration Pallas kernel: one HBM read of the GL
+        # panels per chunk instead of per iteration (single-device only;
+        # the sharded path uses the GSPMD-partitioned XLA loop below)
+        from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
+
+        f, iters, converged = em_maf_pops_fused(
+            cohort.g0,
+            cohort.g1,
+            popmap.membership,
+            cohort.site_weight,
+            cohort.m_real,
+            max_iter,
+            tol,
+            interpret=rt.mesh.devices.flat[0].platform != "tpu",
+        )
+    else:
+        membership = rt.replicate(popmap.membership)
+        pop_index = rt.replicate(popmap.pop_index)
+        f, iters, converged = em_maf_pops(
+            cohort.g0,
+            cohort.g1,
+            membership,
+            pop_index,
+            cohort.site_weight,
+            cohort.m_real,
+            max_iter,
+            tol,
+        )
     f = clamp_af(f, popmap.pop_sizes)
     af = np.asarray(f)[: cohort.m_real].astype(np.float32)
     return ReferenceAFResult(
