@@ -74,3 +74,47 @@ def test_reference_af_pallas_path_matches_golden(breeding, breeding_ids):
     res = estimate_reference_af(breeding, breeding_ids, runtime=rt)
     np.testing.assert_allclose(res.af, golden["af"], rtol=0, atol=2e-5)
     assert res.converged.all()
+
+
+def test_fused_checkpoint_resume(tmp_path):
+    """Interrupt the chunked EM mid-run; resuming from the checkpoint must
+    land on the identical final state."""
+    from wgsassign_tpu.obs.checkpoint import EMCheckpoint
+
+    g0, g1, membership, pop_index, sw = _problem(m=64, n=16, k=2, seed=3)
+    full, iters_full, _ = em_maf_pops_fused(
+        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True
+    )
+    ck_path = str(tmp_path / "em.ckpt.npz")
+    ck = EMCheckpoint(ck_path, interval_chunks=1)
+
+    class Stop(Exception):
+        pass
+
+    # run 3 chunks then simulate a crash by monkeypatching maybe_save
+    calls = []
+    orig = ck.maybe_save
+
+    def counting(f, iters, active, it):
+        orig(f, iters, active, it)
+        calls.append(it)
+        if len(calls) == 3:
+            raise Stop()
+
+    ck.maybe_save = counting
+    try:
+        em_maf_pops_fused(
+            g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True,
+            checkpoint=ck,
+        )
+    except Stop:
+        pass
+    assert ck.load() is not None
+    ck.maybe_save = orig
+    resumed, iters_res, _ = em_maf_pops_fused(
+        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True,
+        checkpoint=ck,
+    )
+    np.testing.assert_array_equal(np.asarray(iters_res), np.asarray(iters_full))
+    np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), atol=0)
+    assert ck.load() is None  # cleared on completion

@@ -155,12 +155,15 @@ def em_maf_pops_fused(
     tol: float,
     chunk: int = 16,
     interpret: bool = False,
+    checkpoint=None,
 ):
     """Driver: chunked fused EM with exact reference convergence semantics.
 
     Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_pops` (returns
     ``(f [M, K], iters [K], converged [K])``) but host-orchestrated in chunks
-    of fused Pallas iterations.
+    of fused Pallas iterations.  ``checkpoint`` (an
+    :class:`wgsassign_tpu.obs.checkpoint.EMCheckpoint`) enables periodic
+    save + resume of the chunk state.
     """
     membership = np.asarray(membership, np.float32)
     n, k = membership.shape
@@ -174,6 +177,13 @@ def em_maf_pops_fused(
     iters = np.full(k, max_iter, dtype=np.int32)
     active = np.ones(k, dtype=bool)
     it = 0
+    if checkpoint is not None:
+        state = checkpoint.load()
+        if state is not None:
+            f_h, iters, active, it = state
+            f = jnp.asarray(f_h, _F32)
+            iters = np.asarray(iters, np.int32)
+            active = np.asarray(active, bool)
     while it < max_iter and active.any():
         T = min(chunk, max_iter - it)
         limits_vec = np.where(active, T, 0).astype(np.float32)
@@ -204,4 +214,8 @@ def em_maf_pops_fused(
                 jnp.asarray(exact_limits.reshape(1, k)), T, interpret=interpret,
             )
         it += T
+        if checkpoint is not None:
+            checkpoint.maybe_save(f, iters, active, it)
+    if checkpoint is not None:
+        checkpoint.clear()
     return f, jnp.asarray(iters), jnp.asarray(~active)
