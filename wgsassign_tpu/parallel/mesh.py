@@ -96,6 +96,37 @@ def make_runtime(
     return Runtime(mesh=mesh, use_pallas=use_pallas)
 
 
+def process_row_range(m_total: int, multiple: int = 1) -> tuple:
+    """Contiguous SNP row range owned by this process.
+
+    Multi-host data loading: each host parses only its own row range of the
+    Beagle file (the format is row-streamable), then the global ``[M, ...]``
+    device array is assembled from per-process shards with
+    :func:`make_global_sites_array`.  Ranges are block-contiguous so they
+    line up with a 1-D SNP mesh whose devices are ordered by process.
+    """
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    m_pad = math.ceil(m_total / (multiple * nproc)) * (multiple * nproc)
+    per = m_pad // nproc
+    lo = pid * per
+    hi = min(m_total, lo + per)
+    return lo, max(hi, lo), per
+
+
+def make_global_sites_array(runtime: Runtime, local_rows: np.ndarray, m_global: int):
+    """Assemble a site-sharded global array from this process's block of
+    rows (padded to the per-process size).  Single-process meshes fall back
+    to a plain sharded device_put."""
+    if jax.process_count() == 1:
+        return runtime.shard_sites(local_rows)
+    from jax import make_array_from_process_local_data
+
+    sharding = runtime.sites_sharding(local_rows.ndim)
+    global_shape = (m_global,) + tuple(local_rows.shape[1:])
+    return make_array_from_process_local_data(sharding, local_rows, global_shape)
+
+
 def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed when launched under a multi-host
     coordinator (env-var driven; no-op for single-process runs)."""
