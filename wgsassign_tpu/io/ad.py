@@ -58,3 +58,20 @@ def extract_majmin_counts_files(
         out_file = raw_counts_file + ".majmin.counts.txt.gz"
     np.savetxt(out_file, out, fmt="%d")
     return out_file
+
+
+def main(argv=None):
+    """Console entry point matching the reference's standalone
+    allele_counts_beagle.py usage:
+
+        WGSassign-allele-counts <raw.counts.gz> <majmin-codes-file> [out]
+    """
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) not in (2, 3):
+        print(__doc__)
+        print("usage: WGSassign-allele-counts RAW_COUNTS MAJMIN_FILE [OUT]")
+        raise SystemExit(2)
+    out = extract_majmin_counts_files(args[0], args[1], args[2] if len(args) == 3 else None)
+    print(f"Wrote major/minor allele counts to {out}")
