@@ -55,7 +55,7 @@ def tpu_updates_per_sec():
     import jax
     import jax.numpy as jnp
 
-    from wgsassign_tpu.ops.emmaf import em_maf_pops
+    from wgsassign_tpu.ops.pallas_emmaf import em_chunk_pallas
     from wgsassign_tpu.parallel.mesh import make_runtime
 
     # First device round trip can be very slow on tunneled platforms
@@ -63,36 +63,35 @@ def tpu_updates_per_sec():
     np.asarray(jnp.ones(8).sum())
 
     rt = make_runtime(jax.devices()[:1])
+    interpret = jax.devices()[0].platform not in ("tpu",)
     g0, g1 = _synthetic_gl(M, N)
-    membership = np.ones((N, 1), dtype=np.float32)
-    pop_index = np.zeros(N, dtype=np.int32)
-    site_weight = np.ones(M, dtype=np.float32)
+    g0d = rt.shard_sites(g0)
+    g1d = rt.shard_sites(g1)
+    swd = rt.shard_sites(np.ones(M, dtype=np.float32))
+    f0 = jnp.full((M, 1), 0.25, jnp.float32)
+    onehot = jnp.ones((1, N), jnp.float32)
+    inv_counts = (1.0 / N,)
 
-    args = (
-        rt.shard_sites(g0),
-        rt.shard_sites(g1),
-        rt.replicate(membership),
-        rt.replicate(pop_index),
-        rt.shard_sites(site_weight),
-        M,
-    )
-
-    # A negative, per-repetition-unique tol forces exactly max_iter updates
-    # (the RMSE is never < tol) while defeating any execution-result caching
-    # keyed on argument values.  Fetching the tiny `iters` output forces
-    # completion; the two-point slope (long minus short run) cancels
-    # dispatch + transfer overhead.
+    # The fused Pallas kernel runs T EM iterations per HBM read of the GL
+    # panels.  A per-repetition-unique limit value defeats any
+    # execution-result caching keyed on argument values; fetching the tiny
+    # `sq` output forces completion.  The two-point slope (long minus short
+    # chunk) cancels dispatch + transfer overhead.
     rep = [0]
 
-    def timed(iters):
+    def timed(T):
         def once():
             rep[0] += 1
+            lim = jnp.asarray([[float(T) - 1e-7 * rep[0]]], jnp.float32)
             t0 = time.perf_counter()
-            out = em_maf_pops(*args, iters, -1e-30 * rep[0])
-            np.asarray(out[1])
+            _, sq = em_chunk_pallas(
+                g0d, g1d, f0, swd, onehot, inv_counts, lim, T,
+                interpret=interpret,
+            )
+            np.asarray(sq[-1])
             return time.perf_counter() - t0
 
-        once()  # warmup/compile for this iteration count
+        once()  # warmup/compile for this chunk length
         return min(once() for _ in range(3))
 
     short, long_ = EM_ITERS // 5, EM_ITERS

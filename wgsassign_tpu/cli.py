@@ -116,6 +116,11 @@ parser.add_argument("--mcmc_seed", metavar="INT", type=int, default=None,
     help="Random seed for --get_mcmc_mix")
 parser.add_argument("--mcmc_last_draw", action="store_true",
     help="MCMC: report the last draw instead of the posterior mean")
+parser.add_argument("--em_checkpoint", action="store_true",
+    help="Periodically checkpoint EM state next to the output prefix and "
+         "resume from it (fused-kernel path)")
+parser.add_argument("--debug_checks", action="store_true",
+    help="Enable NaN debugging (jax_debug_nans) for the run")
 
 
 def main(argv=None):
@@ -147,6 +152,8 @@ def main(argv=None):
     maybe_initialize_distributed()
     import jax
 
+    if args.debug_checks:
+        jax.config.update("jax_debug_nans", True)
     devices = jax.devices()
     if args.devices is not None:
         devices = devices[: args.devices]
@@ -212,8 +219,19 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         popmap = read_ids(args.pop_af_IDs)
         with timer.phase("reference_af"):
             res = estimate_reference_af(
-                beagle, popmap, args.maf_iter, args.maf_tole, cohort=cohort
+                beagle, popmap, args.maf_iter, args.maf_tole, cohort=cohort,
+                checkpoint_path=(args.out + ".em.ckpt.npz"
+                                 if args.em_checkpoint else None),
             )
+        em_secs = timer.totals["reference_af"]
+        total_updates = float(
+            beagle.n_sites * sum(
+                int(it) * int(sz)
+                for it, sz in zip(res.iters, popmap.pop_sizes)
+            )
+        )
+        print(f"EM throughput: {total_updates / max(em_secs, 1e-9):.3g} "
+              "site-individual GL updates/s")
         for pop, it, conv in zip(res.pops, res.iters, res.converged):
             status = f"converged at iteration: {it}" if conv else \
                      f"did not converge within {args.maf_iter} iterations"

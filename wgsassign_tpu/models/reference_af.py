@@ -35,6 +35,7 @@ def estimate_reference_af(
     tol: float = 1e-4,
     runtime: Optional[Runtime] = None,
     cohort: Optional[DeviceCohort] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> ReferenceAFResult:
     if beagle.n_inds != popmap.n_inds:
         raise ValueError(
@@ -47,8 +48,10 @@ def estimate_reference_af(
         # fused multi-iteration Pallas kernel: one HBM read of the GL
         # panels per chunk instead of per iteration (single-device only;
         # the sharded path uses the GSPMD-partitioned XLA loop below)
+        from wgsassign_tpu.obs.checkpoint import EMCheckpoint
         from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
 
+        ckpt = EMCheckpoint(checkpoint_path) if checkpoint_path else None
         f, iters, converged = em_maf_pops_fused(
             cohort.g0,
             cohort.g1,
@@ -58,6 +61,7 @@ def estimate_reference_af(
             max_iter,
             tol,
             interpret=rt.mesh.devices.flat[0].platform != "tpu",
+            checkpoint=ckpt,
         )
     else:
         membership = rt.replicate(popmap.membership)

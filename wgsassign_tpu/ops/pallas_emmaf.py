@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wgsassign_tpu.ops.emmaf import _EM_EPS, em_weights
+from wgsassign_tpu.ops.emmaf import _EM_EPS
 
 _F32 = jnp.float32
 
@@ -63,6 +63,7 @@ def _em_chunk_kernel(
 
     g0 = g0_ref[:]
     g1 = g1_ref[:]
+    g2 = 1.0 - g0 - g1      # iteration-invariant, hoisted out of the T loop
     sw = sw_ref[:]          # [tm, 1]
     onehot = onehot_ref[:]  # [K, N]
     limits = limits_ref[:]  # [1, K] float32 iteration limits per population
@@ -74,7 +75,13 @@ def _em_chunk_kernel(
         f_ind = f[:, 0:1] * onehot[0:1, :]
         for k in range(1, K):
             f_ind += f[:, k : k + 1] * onehot[k : k + 1, :]
-        w = em_weights(g0, g1, f_ind)  # [tm, N]
+        # em_weights with g2 hoisted — identical op order (bit-exact vs the
+        # XLA path, which the convergence-count tests rely on)
+        omf = 1.0 - f_ind
+        p0 = g0 * omf * omf
+        p1 = g1 * 2.0 * f_ind * omf
+        p2 = g2 * f_ind * f_ind
+        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))  # [tm, N]
         cols = [
             jnp.sum(w * onehot[k : k + 1, :], axis=1, keepdims=True)
             * inv_counts[k]
