@@ -121,6 +121,9 @@ parser.add_argument("--em_checkpoint", action="store_true",
          "resume from it (fused-kernel path)")
 parser.add_argument("--debug_checks", action="store_true",
     help="Enable NaN debugging (jax_debug_nans) for the run")
+parser.add_argument("--log_level", metavar="LEVEL", default=None,
+    help="Structured-log level for the wgsassign_tpu logger (default WARNING; "
+         "also via WGSA_LOG_LEVEL)")
 
 
 def main(argv=None):
@@ -149,6 +152,9 @@ def main(argv=None):
     # provenance log (reference WGSassign.py:127-141)
     writers.write_args_file(args.out, args, parser.parse_args([]))
 
+    from wgsassign_tpu.obs.log import setup_logging
+
+    setup_logging(args.log_level)
     maybe_initialize_distributed()
     import jax
 

@@ -1,0 +1,33 @@
+"""Structured logging setup.
+
+The reference logs via bare prints (SURVEY §5).  The CLI keeps those prints
+(they are part of the observable contract) and additionally emits structured
+records through the ``wgsassign_tpu`` logger; library code logs here rather
+than printing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger("wgsassign_tpu")
+
+
+def setup_logging(level: str | None = None) -> logging.Logger:
+    """Configure the package logger once; level from arg or
+    ``WGSA_LOG_LEVEL`` (default WARNING so library use stays quiet)."""
+    if logger.handlers:
+        return logger
+    handler = logging.StreamHandler()
+    handler.setFormatter(
+        logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S"
+        )
+    )
+    logger.addHandler(handler)
+    logger.setLevel(
+        (level or os.environ.get("WGSA_LOG_LEVEL", "WARNING")).upper()
+    )
+    logger.propagate = False
+    return logger
