@@ -118,3 +118,25 @@ def test_fused_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(iters_res), np.asarray(iters_full))
     np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), atol=0)
     assert ck.load() is None  # cleared on completion
+
+
+def test_fused_sharded_mesh_matches_xla():
+    """The shard_map'd fused chunk path on an 8-device mesh must reproduce
+    the XLA trajectory (iteration counts included)."""
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    g0, g1, membership, pop_index, sw = _problem(m=128, n=16, k=2, seed=5)
+    f_ref, iters_ref, _ = em_maf_pops(
+        g0, g1, membership, pop_index, sw, 128, 100, 1e-4
+    )
+    rt = make_runtime(jax.devices())
+    assert rt.n_devices == 8
+    f, iters, _ = em_maf_pops_fused(
+        rt.shard_sites(g0), rt.shard_sites(g1), membership,
+        rt.shard_sites(sw), 128, 100, 1e-4, chunk=16, interpret=True,
+        runtime=rt,
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-6)

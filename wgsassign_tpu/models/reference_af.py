@@ -44,10 +44,11 @@ def estimate_reference_af(
     if cohort is None:
         cohort = to_device(beagle, runtime)
     rt = cohort.runtime
-    if rt.pallas_enabled() and rt.n_devices == 1:
+    if rt.pallas_enabled():
         # fused multi-iteration Pallas kernel: one HBM read of the GL
-        # panels per chunk instead of per iteration (single-device only;
-        # the sharded path uses the GSPMD-partitioned XLA loop below)
+        # panels per chunk instead of per iteration; on a multi-device mesh
+        # the chunk runs per shard under shard_map with psum'd convergence
+        # partials
         from wgsassign_tpu.obs.checkpoint import EMCheckpoint
         from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
 
@@ -62,6 +63,7 @@ def estimate_reference_af(
             tol,
             interpret=rt.mesh.devices.flat[0].platform != "tpu",
             checkpoint=ckpt,
+            runtime=rt,
         )
     else:
         membership = rt.replicate(popmap.membership)

@@ -152,6 +152,41 @@ def em_chunk_pallas(g0, g1, f, site_weight, onehot, inv_counts, limits,
     return f_new, sq
 
 
+def em_chunk_sharded(runtime, g0, g1, f, site_weight, onehot, inv_counts,
+                     limits, T: int, interpret: bool = False):
+    """Mesh-parallel wrapper: run the fused chunk kernel per device shard
+    under ``shard_map`` and ``psum`` the squared-diff partials over the SNP
+    axis.  ``f`` comes back site-sharded like the inputs."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    mesh = runtime.mesh
+
+    def body(g0s, g1s, fs, sws, onehot_s, limits_s):
+        f_new, sq = em_chunk_pallas(
+            g0s, g1s, fs, sws, onehot_s, inv_counts, limits_s, T,
+            interpret=interpret,
+        )
+        return f_new, jax.lax.psum(sq, SNP_AXIS)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(SNP_AXIS, None), P(SNP_AXIS, None), P(SNP_AXIS, None),
+            P(SNP_AXIS), P(None, None), P(None, None),
+        ),
+        out_specs=(P(SNP_AXIS, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(g0, g1, f, site_weight, onehot, limits)
+
+
 def em_maf_pops_fused(
     g0,
     g1,
@@ -163,6 +198,7 @@ def em_maf_pops_fused(
     chunk: int = 16,
     interpret: bool = False,
     checkpoint=None,
+    runtime=None,
 ):
     """Driver: chunked fused EM with exact reference convergence semantics.
 
@@ -179,8 +215,28 @@ def em_maf_pops_fused(
     inv_counts = tuple(float(1.0 / c) for c in counts)
     m = g0.shape[0]
 
-    f = jnp.full((m, k), 0.25, dtype=_F32)
     sw = jnp.asarray(site_weight, _F32)
+    if runtime is not None and runtime.n_devices > 1:
+        f = jax.device_put(
+            jnp.full((m, k), 0.25, dtype=_F32), runtime.sites_sharding(2)
+        )
+        onehot = runtime.replicate(np.asarray(membership.T))
+
+        def run_chunk(f_in, limits_arr, T):
+            return em_chunk_sharded(
+                runtime, g0, g1, f_in, sw, onehot,
+                inv_counts, limits_arr, T, interpret=interpret,
+            )
+
+    else:
+        f = jnp.full((m, k), 0.25, dtype=_F32)
+
+        def run_chunk(f_in, limits_arr, T):
+            return em_chunk_pallas(
+                g0, g1, f_in, sw, onehot, inv_counts, limits_arr, T,
+                interpret=interpret,
+            )
+
     iters = np.full(k, max_iter, dtype=np.int32)
     active = np.ones(k, dtype=bool)
     it = 0
@@ -195,10 +251,7 @@ def em_maf_pops_fused(
         T = min(chunk, max_iter - it)
         limits_vec = np.where(active, T, 0).astype(np.float32)
         f_snapshot = f
-        f, sq = em_chunk_pallas(
-            g0, g1, f, sw, onehot, inv_counts,
-            jnp.asarray(limits_vec.reshape(1, k)), T, interpret=interpret,
-        )
+        f, sq = run_chunk(f, jnp.asarray(limits_vec.reshape(1, k)), T)
         rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))  # [T, K]
         # first iteration (within chunk) at which each active pop converged
         crossed = rmse < tol  # [T, K]
@@ -216,9 +269,8 @@ def em_maf_pops_fused(
                     exact_limits[kk] = t_star
                     replay = True
         if replay:
-            f, _ = em_chunk_pallas(
-                g0, g1, f_snapshot, sw, onehot, inv_counts,
-                jnp.asarray(exact_limits.reshape(1, k)), T, interpret=interpret,
+            f, _ = run_chunk(
+                f_snapshot, jnp.asarray(exact_limits.reshape(1, k)), T
             )
         it += T
         if checkpoint is not None:
