@@ -67,8 +67,7 @@ def tpu_updates_per_sec():
     g0, g1 = _synthetic_gl(M, N)
     g0d = rt.shard_sites(g0)
     g1d = rt.shard_sites(g1)
-    swd = rt.shard_sites(np.ones(M, dtype=np.float32))
-    f0 = jnp.full((M, 1), 0.25, jnp.float32)
+    f0 = jnp.full((1, M), 0.25, jnp.float32)  # [K, M] transposed panel
     onehot = jnp.ones((1, N), jnp.float32)
     inv_counts = (1.0 / N,)
 
@@ -85,7 +84,7 @@ def tpu_updates_per_sec():
             lim = jnp.asarray([[float(T) - 1e-7 * rep[0]]], jnp.float32)
             t0 = time.perf_counter()
             _, sq = em_chunk_pallas(
-                g0d, g1d, f0, swd, onehot, inv_counts, lim, T,
+                g0d, g1d, f0, onehot, inv_counts, lim, T,
                 interpret=interpret,
             )
             np.asarray(sq[-1])

@@ -128,7 +128,8 @@ parser.add_argument("--log_level", metavar="LEVEL", default=None,
 
 def main(argv=None):
     args = parser.parse_args(argv)
-    if len(sys.argv if argv is None else argv) < 1:
+    n_args = len(sys.argv) - 1 if argv is None else len(argv)
+    if n_args < 1:
         parser.print_help()
         sys.exit()
     print("WGSassign (wgsassign-tpu " + __version__ + ")")

@@ -78,8 +78,15 @@ def estimate_reference_af(
             max_iter,
             tol,
         )
-    f = clamp_af(f, popmap.pop_sizes)
-    af = np.asarray(f)[: cohort.m_real].astype(np.float32)
+    if isinstance(f, np.ndarray):
+        # fused path returns host memory; clamp there (avoids rematerializing
+        # a lane-padded [M, K] panel on device)
+        sizes = popmap.pop_sizes.astype(np.float32)
+        min_val = 1.0 / (2.0 * (sizes + 1.0))
+        af = np.clip(f[: cohort.m_real], min_val, 1.0 - min_val).astype(np.float32)
+    else:
+        f = clamp_af(f, popmap.pop_sizes)
+        af = np.asarray(f)[: cohort.m_real].astype(np.float32)
     return ReferenceAFResult(
         af=af,
         pops=popmap.pops,

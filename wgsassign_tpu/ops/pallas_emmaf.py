@@ -19,9 +19,24 @@ global-RMSE stop, populations freeze independently):
   snapshot with exact limits — at most one replay per chunk, and only in
   chunks where something converges.
 
+Layout notes (HBM-footprint critical at production scale):
+
+- the AF panel crosses the kernel boundary **transposed**, as ``[K, M]``:
+  TPU HBM tiling pads the minor dimension to 128 lanes, so an ``[M, K]``
+  operand with K≈5 would inflate 25x (2.3 GB at 5M sites); ``[K, M]`` only
+  pads K to 8 sublanes.  The kernel transposes the small ``[K, tile]``
+  block once per chunk;
+- there is no site-weight operand (an ``[M, 1]`` operand would pad 128x):
+  padded sites are instead pinned to the EM fixed point of the padding GL
+  pattern (g0=1 ⇒ w=0 ⇒ f=EM_EPS) by initializing their f to ``EM_EPS``,
+  which makes their per-iteration diff exactly zero — they never touch the
+  convergence partials.
+
 The per-individual AF gather and the member sums are unrolled over the K
 populations as exact float32 one-hot multiply-accumulates on the VPU (a
 bf16 MXU matmul would quantize the trajectory; K is small in this domain).
+All update arithmetic keeps the XLA path's op order, so trajectories (and
+hence convergence iteration counts) are bit-identical to ``em_maf_pops``.
 """
 
 from __future__ import annotations
@@ -37,9 +52,9 @@ from wgsassign_tpu.ops.emmaf import _EM_EPS
 
 _F32 = jnp.float32
 
-# VMEM working set per tile ~ 2 * tile_m * N * 4 bytes (GL panels) plus
-# small f/weight tiles; keep comfortably under the ~16 MB/core budget.
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# VMEM working set per tile ~ 2 * tile_m * N * 4 bytes (GL panels, double
+# buffered) plus w/g2 temporaries; keep comfortably under ~16 MB/core.
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 
 
 def _tile_m(m: int, n: int) -> int:
@@ -52,7 +67,7 @@ def _tile_m(m: int, n: int) -> int:
 
 
 def _em_chunk_kernel(
-    g0_ref, g1_ref, f_ref, sw_ref, onehot_ref, limits_ref, fout_ref, sq_ref,
+    g0_ref, g1_ref, ft_ref, onehot_ref, limits_ref, ftout_ref, sq_ref,
     *, T: int, K: int, inv_counts: Tuple[float, ...],
 ):
     import jax.experimental.pallas as pl
@@ -64,10 +79,9 @@ def _em_chunk_kernel(
     g0 = g0_ref[:]
     g1 = g1_ref[:]
     g2 = 1.0 - g0 - g1      # iteration-invariant, hoisted out of the T loop
-    sw = sw_ref[:]          # [tm, 1]
     onehot = onehot_ref[:]  # [K, N]
     limits = limits_ref[:]  # [1, K] float32 iteration limits per population
-    f = f_ref[:]            # [tm, K]
+    f = ft_ref[:].T         # [K, tm] -> [tm, K], once per chunk
 
     acc_rows = []
     for t in range(T):
@@ -90,73 +104,72 @@ def _em_chunk_kernel(
         f_upd = jnp.clip(
             jnp.concatenate(cols, axis=1), _EM_EPS, 1.0 - _EM_EPS
         )
-        f_new = jnp.where(limits > float(t), f_upd, f)  # [1,K] vs scalar bcast
-        d = (f_new - f) * sw
+        f_new = jnp.where(limits > float(t), f_upd, f)  # [1,K] bcast
+        d = f_new - f
         acc_rows.append(jnp.sum(d * d, axis=0, keepdims=True))  # [1, K]
         f = f_new
 
-    fout_ref[:] = f
+    ftout_ref[:] = f.T
     sq_ref[:] += jnp.concatenate(acc_rows, axis=0)  # [T, K]
 
 
 @functools.partial(
     jax.jit, static_argnames=("inv_counts", "T", "interpret")
 )
-def em_chunk_pallas(g0, g1, f, site_weight, onehot, inv_counts, limits,
+def em_chunk_pallas(g0, g1, ft, onehot, inv_counts, limits,
                     T: int, interpret: bool = False):
     """One chunk of T fused EM iterations.
 
     Args:
-      g0, g1: float32 ``[M, N]`` (local shard).
-      f: float32 ``[M, K]`` current AF panel.
-      site_weight: float32 ``[M]``.
+      g0, g1: float32 ``[M, N]`` (local shard; padded rows must be the
+        (1, 0) GL pattern and their ``ft`` entries ``EM_EPS``).
+      ft: float32 ``[K, M]`` current AF panel, transposed layout.
       onehot: float32 ``[K, N]`` membership (transposed).
       inv_counts: tuple of K floats, 1/pop_size (static).
       limits: float32 ``[1, K]`` per-population update limits (<= T).
       T: chunk length (static).
 
-    Returns ``(f_new [M, K], sq [T, K])`` — sq[t, k] is the weighted squared
-    diff sum of iteration t for population k over this shard.
+    Returns ``(ft_new [K, M], sq [T, K])`` — sq[t, k] is the squared diff
+    sum of iteration t for population k over this shard.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m, n = g0.shape
-    k = f.shape[1]
+    k = ft.shape[0]
     tm = _tile_m(m, n)
     grid = (m // tm,)
     kernel = functools.partial(
         _em_chunk_kernel, T=T, K=k, inv_counts=inv_counts
     )
-    f_new, sq = pl.pallas_call(
+    ft_new, sq = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, k), _F32),
+            jax.ShapeDtypeStruct((k, m), _F32),
             jax.ShapeDtypeStruct((T, k), _F32),
         ],
         interpret=interpret,
-    )(g0, g1, f, site_weight.reshape(m, 1), onehot, limits)
-    return f_new, sq
+    )(g0, g1, ft, onehot, limits)
+    return ft_new, sq
 
 
-def em_chunk_sharded(runtime, g0, g1, f, site_weight, onehot, inv_counts,
+def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
                      limits, T: int, interpret: bool = False):
     """Mesh-parallel wrapper: run the fused chunk kernel per device shard
     under ``shard_map`` and ``psum`` the squared-diff partials over the SNP
-    axis.  ``f`` comes back site-sharded like the inputs."""
+    axis.  ``ft`` is sharded along its site (second) axis."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -167,24 +180,24 @@ def em_chunk_sharded(runtime, g0, g1, f, site_weight, onehot, inv_counts,
 
     mesh = runtime.mesh
 
-    def body(g0s, g1s, fs, sws, onehot_s, limits_s):
-        f_new, sq = em_chunk_pallas(
-            g0s, g1s, fs, sws, onehot_s, inv_counts, limits_s, T,
+    def body(g0s, g1s, fts, onehot_s, limits_s):
+        ft_new, sq = em_chunk_pallas(
+            g0s, g1s, fts, onehot_s, inv_counts, limits_s, T,
             interpret=interpret,
         )
-        return f_new, jax.lax.psum(sq, SNP_AXIS)
+        return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(SNP_AXIS, None), P(SNP_AXIS, None), P(SNP_AXIS, None),
-            P(SNP_AXIS), P(None, None), P(None, None),
+            P(SNP_AXIS, None), P(SNP_AXIS, None), P(None, SNP_AXIS),
+            P(None, None), P(None, None),
         ),
-        out_specs=(P(SNP_AXIS, None), P(None, None)),
+        out_specs=(P(None, SNP_AXIS), P(None, None)),
         check_vma=False,
     )
-    return jax.jit(fn)(g0, g1, f, site_weight, onehot, limits)
+    return jax.jit(fn)(g0, g1, ft, onehot, limits)
 
 
 def em_maf_pops_fused(
@@ -203,37 +216,45 @@ def em_maf_pops_fused(
     """Driver: chunked fused EM with exact reference convergence semantics.
 
     Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_pops` (returns
-    ``(f [M, K], iters [K], converged [K])``) but host-orchestrated in chunks
-    of fused Pallas iterations.  ``checkpoint`` (an
-    :class:`wgsassign_tpu.obs.checkpoint.EMCheckpoint`) enables periodic
+    ``(f [M, K], iters [K], converged [K])`` — ``f`` as a NumPy array) but
+    host-orchestrated in chunks of fused Pallas iterations.  ``checkpoint``
+    (an :class:`wgsassign_tpu.obs.checkpoint.EMCheckpoint`) enables periodic
     save + resume of the chunk state.
     """
     membership = np.asarray(membership, np.float32)
     n, k = membership.shape
     counts = membership.sum(axis=0)
-    onehot = jnp.asarray(membership.T)  # [K, N]
     inv_counts = tuple(float(1.0 / c) for c in counts)
     m = g0.shape[0]
 
-    sw = jnp.asarray(site_weight, _F32)
+    # padded sites start at their fixed point (see module docstring), so
+    # they contribute exactly zero to every convergence partial
+    sw_h = np.asarray(site_weight, np.float32)
+    f_row = np.where(sw_h > 0, np.float32(0.25), np.float32(_EM_EPS))
+    ft_h = np.broadcast_to(f_row, (k, m))
+
     if runtime is not None and runtime.n_devices > 1:
-        f = jax.device_put(
-            jnp.full((m, k), 0.25, dtype=_F32), runtime.sites_sharding(2)
-        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+        ft_sharding = NamedSharding(runtime.mesh, P(None, SNP_AXIS))
+        ft = jax.device_put(np.ascontiguousarray(ft_h), ft_sharding)
         onehot = runtime.replicate(np.asarray(membership.T))
 
-        def run_chunk(f_in, limits_arr, T):
+        def run_chunk(ft_in, limits_arr, T):
             return em_chunk_sharded(
-                runtime, g0, g1, f_in, sw, onehot,
+                runtime, g0, g1, ft_in, onehot,
                 inv_counts, limits_arr, T, interpret=interpret,
             )
 
     else:
-        f = jnp.full((m, k), 0.25, dtype=_F32)
+        ft = jnp.asarray(np.ascontiguousarray(ft_h))
+        onehot = jnp.asarray(membership.T)
 
-        def run_chunk(f_in, limits_arr, T):
+        def run_chunk(ft_in, limits_arr, T):
             return em_chunk_pallas(
-                g0, g1, f_in, sw, onehot, inv_counts, limits_arr, T,
+                g0, g1, ft_in, onehot, inv_counts, limits_arr, T,
                 interpret=interpret,
             )
 
@@ -243,15 +264,15 @@ def em_maf_pops_fused(
     if checkpoint is not None:
         state = checkpoint.load()
         if state is not None:
-            f_h, iters, active, it = state
-            f = jnp.asarray(f_h, _F32)
+            ft_h2, iters, active, it = state
+            ft = jnp.asarray(ft_h2, _F32)
             iters = np.asarray(iters, np.int32)
             active = np.asarray(active, bool)
     while it < max_iter and active.any():
         T = min(chunk, max_iter - it)
         limits_vec = np.where(active, T, 0).astype(np.float32)
-        f_snapshot = f
-        f, sq = run_chunk(f, jnp.asarray(limits_vec.reshape(1, k)), T)
+        ft_snapshot = ft
+        ft, sq = run_chunk(ft, jnp.asarray(limits_vec.reshape(1, k)), T)
         rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))  # [T, K]
         # first iteration (within chunk) at which each active pop converged
         crossed = rmse < tol  # [T, K]
@@ -269,12 +290,13 @@ def em_maf_pops_fused(
                     exact_limits[kk] = t_star
                     replay = True
         if replay:
-            f, _ = run_chunk(
-                f_snapshot, jnp.asarray(exact_limits.reshape(1, k)), T
+            ft, _ = run_chunk(
+                ft_snapshot, jnp.asarray(exact_limits.reshape(1, k)), T
             )
         it += T
         if checkpoint is not None:
-            checkpoint.maybe_save(f, iters, active, it)
+            checkpoint.maybe_save(ft, iters, active, it)
     if checkpoint is not None:
         checkpoint.clear()
+    f = np.ascontiguousarray(np.asarray(ft).T)
     return f, jnp.asarray(iters), jnp.asarray(~active)
