@@ -84,10 +84,15 @@ def main():
 
     bench("maf_em_xla", em, m * args.n * it)
 
-    # LOO for the largest population
+    # LOO for the largest population (site-minor member panels)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
     members = np.flatnonzero(pop_index == 0)
-    g0p = jnp.take(g0, rt.replicate(members.astype(np.int32)), axis=1)
-    g1p = jnp.take(g1, rt.replicate(members.astype(np.int32)), axis=1)
+    row_sharding = NamedSharding(rt.mesh, P(None, SNP_AXIS))
+    g0p = jax.device_put(np.ascontiguousarray(gl[:, members, 0].T), row_sharding)
+    g1p = jax.device_put(np.ascontiguousarray(gl[:, members, 1].T), row_sharding)
 
     def loo(r):
         out = em_maf_loo_group(g0p, g1p, sw, m, it, -1e-30 * (r + 1))

@@ -11,9 +11,16 @@ implementation reproduces exactly (see SURVEY §2.5), batched:
 
   * all N LOO EM problems run as K batched device computations (one per
     population, ``em_maf_loo_group``), not N serial EM re-runs;
-  * the quirky AF selection becomes a static ``[N, K]`` column-index table
-    into a bank of (N LOO + K full-data) AF columns;
+  * the quirky AF selection becomes a static ``[N, K]`` row-index table
+    into a bank of (N LOO + K full-data) AF vectors;
   * all N*K log-likelihood sums run as one scanned device pass.
+
+Memory layout at production scale: every "few wide columns over M sites"
+array is kept **site-minor** (``[n_p, M]`` member panels, ``[N+K, M]`` AF
+bank) — TPU HBM tiling pads the minor dimension to 128 lanes, so the
+``[M, few]`` orientation would inflate several-fold.  Member panels are
+gathered host-side from the parsed Beagle matrix (free in host RAM) rather
+than on device; the AF bank is assembled host-side and shipped once.
 
 ``compat_af_mutation=False`` gives the statistically clean variant instead:
 foreign-population likelihoods always use the full-data AF.
@@ -24,18 +31,19 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from wgsassign_tpu.io.beagle import BeagleData
 from wgsassign_tpu.io.ids import PopulationMap
-from wgsassign_tpu.models.common import DeviceCohort, pad_af_to, to_device
-from wgsassign_tpu.ops.emmaf import clamp_af, em_maf_loo_group
+from wgsassign_tpu.models.common import DeviceCohort, to_device
+from wgsassign_tpu.ops.emmaf import em_maf_loo_group
 from wgsassign_tpu.ops.loglik import (
     assign_loglik_selected,
     assign_loglik_selected_partitioned,
 )
-from wgsassign_tpu.parallel.mesh import Runtime
+from wgsassign_tpu.parallel.mesh import PAD_AF, PAD_G0, PAD_G1, Runtime
 
 
 @dataclass
@@ -47,7 +55,7 @@ class LooResult:
 
 
 def loo_af_column_index(popmap: PopulationMap, compat_af_mutation: bool) -> np.ndarray:
-    """Column index into the AF bank ``[loo_0..loo_{N-1}, full_0..full_{K-1}]``
+    """Row index into the AF bank ``[loo_0..loo_{N-1}, full_0..full_{K-1}]``
     used for pair (individual i, population j)."""
     n, k = popmap.n_inds, popmap.n_pops
     col_idx = np.empty((n, k), dtype=np.int32)
@@ -84,6 +92,8 @@ def leave_one_out(
         cohort = to_device(beagle, runtime, site_multiple=num_partitions)
     rt = cohort.runtime
     n = cohort.n_inds
+    m_pad = cohort.m_pad
+    m_real = cohort.m_real
 
     sizes = popmap.pop_sizes
     if np.any(sizes < 2):
@@ -93,29 +103,39 @@ def leave_one_out(
         )
 
     # --- batched LOO EM, one device computation per population -------------
-    af_loo = jnp.zeros((cohort.m_pad, n), dtype=jnp.float32)
+    # The AF bank is assembled host-side: rows 0..N-1 hold each individual's
+    # LOO AF, rows N..N+K-1 the full-data AF.
+    k = popmap.n_pops
+    bank_h = np.empty((n + k, m_pad), dtype=np.float32)
+    bank_h[n:, :m_real] = np.asarray(af_full, np.float32).T
+    bank_h[n:, m_real:] = PAD_AF
     iters = np.empty(n, dtype=np.int32)
     converged = np.empty(n, dtype=bool)
     for j, pop in enumerate(popmap.pops):
         members = popmap.members_of(pop)
-        g0p = jnp.take(cohort.g0, members, axis=1)
-        g1p = jnp.take(cohort.g1, members, axis=1)
+        # host-side member gather into the site-minor layout + padding
+        g0p = np.full((len(members), m_pad), PAD_G0, dtype=np.float32)
+        g1p = np.full((len(members), m_pad), PAD_G1, dtype=np.float32)
+        g0p[:, :m_real] = beagle.gl[:, members, 0].T
+        g1p[:, :m_real] = beagle.gl[:, members, 1].T
         f_p, it_p, conv_p = em_maf_loo_group(
-            g0p, g1p, cohort.site_weight, cohort.m_real, max_iter, tol
+            _shard_rows(rt, g0p),
+            _shard_rows(rt, g1p),
+            cohort.site_weight,
+            m_real,
+            max_iter,
+            tol,
         )
-        f_p = clamp_af(f_p, sizes[j] - 1)
-        af_loo = af_loo.at[:, members].set(f_p)
+        n_loo = sizes[j] - 1
+        min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
+        bank_h[members] = np.clip(np.asarray(f_p), min_val, 1.0 - min_val)
         iters[members] = np.asarray(it_p)
         converged[members] = np.asarray(conv_p)
         if verbose:
             print(f"LOO EM for population {pop}: {len(members)} problems, "
                   f"iterations {np.asarray(it_p).min()}..{np.asarray(it_p).max()}")
 
-    # --- AF bank + per-(i, k) column selection -----------------------------
-    af_full_dev = rt.shard_sites(
-        pad_af_to(np.asarray(af_full, np.float32), cohort.m_pad)
-    )
-    bank = jnp.concatenate([af_loo, af_full_dev], axis=1)  # [M_pad, N+K]
+    bank_t = _shard_rows(rt, bank_h)
     col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
 
     # --- likelihood evaluation (optionally on the downsampled GLs) ---------
@@ -130,15 +150,25 @@ def leave_one_out(
         src = cohort
 
     if num_partitions <= 1:
-        ll = assign_loglik_selected(src.g0, src.g1, bank, col_idx, src.site_weight)
+        ll = assign_loglik_selected(src.g0, src.g1, bank_t, col_idx, src.site_weight)
         ll = np.asarray(ll, dtype=np.float32)
         parts = ll.reshape(n * 1, -1)
     else:
         ll_d, parts_d = assign_loglik_selected_partitioned(
-            src.g0, src.g1, bank, col_idx, src.site_weight, num_partitions
+            src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
         )
         ll = np.asarray(ll_d, dtype=np.float32)
         parts = np.asarray(parts_d, dtype=np.float32).reshape(
             n * num_partitions, -1
         )
     return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)
+
+
+def _shard_rows(rt: Runtime, arr: np.ndarray):
+    """Device-put a ``[rows, M]`` array sharded along its site (second)
+    axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    return jax.device_put(arr, NamedSharding(rt.mesh, P(None, SNP_AXIS)))

@@ -154,29 +154,32 @@ def em_maf_loo_group(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched leave-one-out MAF EM for one population.
 
-    For a population with members ``0..n_p-1`` (columns of ``g0p``/``g1p``,
-    shape ``[M, n_p]``), runs the ``n_p`` independent EMs in which member
-    ``j`` is left out, all at once.  Equivalent to the reference's N serial
-    full EM re-runs (glassy.py:65-89) but one batched computation.
+    For a population with members ``0..n_p-1`` (rows of ``g0p``/``g1p``,
+    shape ``[n_p, M]`` — **site-minor** layout, so the small member axis
+    pads to 8 sublanes instead of 128 lanes), runs the ``n_p`` independent
+    EMs in which member ``j`` is left out, all at once.  Equivalent to the
+    reference's N serial full EM re-runs (glassy.py:65-89) but one batched
+    computation.
 
-    Returns ``(f [M, n_p], iters [n_p], converged [n_p])`` — column ``j`` is
+    Returns ``(f [n_p, M], iters [n_p], converged [n_p])`` — row ``j`` is
     the leave-``j``-out allele frequency.
     """
-    m, npop = g0p.shape
+    npop, m = g0p.shape
     # mask[i, j] = 1 if member i participates in problem j (i != j)
     mask = 1.0 - jnp.eye(npop, dtype=_F32)
     inv_counts = 1.0 / (npop - 1.0)
     tol = jnp.asarray(tol, _F32)
     m_real = jnp.asarray(m_real, _F32)
 
-    f0 = jnp.full((m, npop), 0.25, dtype=_F32)
+    f0 = jnp.full((npop, m), 0.25, dtype=_F32)
 
     def update(f):
-        # w[s, i, j] = em weight of member i under problem j's current AF.
-        w = em_weights(g0p[:, :, None], g1p[:, :, None], f[:, None, :])
+        # w[i, j, s] = em weight of member i under problem j's current AF.
+        w = em_weights(g0p[:, None, :], g1p[:, None, :], f[None, :, :])
         # Masked mean over members i != j.  The elementwise producer fuses
-        # into this reduction, so the [M, n_p, n_p] tensor never materializes.
-        f_new = jnp.sum(w * mask[None, :, :], axis=1) * inv_counts
+        # into this reduction, so the [n_p, n_p, M] tensor never
+        # materializes.
+        f_new = jnp.sum(w * mask[:, :, None], axis=0) * inv_counts
         return jnp.clip(f_new, _EM_EPS, 1.0 - _EM_EPS)
 
     def cond(state):
@@ -186,8 +189,10 @@ def em_maf_loo_group(
     def body(state):
         f, active, iters, it = state
         f_upd = update(f)
-        f_new = jnp.where(active[None, :], f_upd, f)
-        diff = _masked_rmse(f_new, f, site_weight, m_real)
+        f_new = jnp.where(active[:, None], f_upd, f)
+        d = f_new - f
+        sq = jnp.sum(d * d * site_weight[None, :], axis=1)
+        diff = jnp.sqrt(sq / m_real)
         newly = jnp.logical_and(active, diff < tol)
         iters = jnp.where(newly, it + 1, iters)
         active = jnp.logical_and(active, diff >= tol)

@@ -64,36 +64,40 @@ def assign_loglik_partitioned(g0, g1, af, site_weight, num_partitions: int):
 
 
 @jax.jit
-def assign_loglik_selected(g0, g1, af_bank, col_idx, site_weight):
+def assign_loglik_selected(g0, g1, af_bank_t, col_idx, site_weight):
     """Assignment log-likelihoods where each (individual, population) pair
     uses its own AF column from a bank — the general form needed for LOO with
     the reference's in-place AF-mutation semantics (glassy.py:87-98).
 
     Args:
       g0, g1: float32 ``[M, N]``.
-      af_bank: float32 ``[M, C]`` bank of AF columns.
-      col_idx: int32 ``[N, K]`` — bank column used for pair (i, k).
+      af_bank_t: float32 ``[C, M]`` bank of AF vectors, site-minor layout
+        (a ``[M, C]`` bank would lane-pad C and waste HBM at scale).
+      col_idx: int32 ``[N, K]`` — bank row used for pair (i, k).
       site_weight: float32 ``[M]``.
 
     Returns: float32 ``[N, K]``.
 
-    Scans over individuals so only an ``[M, K]`` gather is live at a time.
+    Scans over individuals so only a ``[K, M]`` gather is live at a time.
     """
 
     def one_ind(carry, inputs):
-        g0i, g1i, idx_i = inputs  # [M], [M], [K]
-        a = jnp.take(af_bank, idx_i, axis=1)  # [M, K]
-        ll = site_loglik(g0i[:, None], g1i[:, None], a)
-        ll = ll * site_weight[:, None]
-        return carry, jnp.sum(ll, axis=0)
+        i, idx_i = inputs  # scalar, [K]
+        g0i = jax.lax.dynamic_index_in_dim(g0, i, axis=1, keepdims=False)
+        g1i = jax.lax.dynamic_index_in_dim(g1, i, axis=1, keepdims=False)
+        a = jnp.take(af_bank_t, idx_i, axis=0)  # [K, M]
+        ll = site_loglik(g0i[None, :], g1i[None, :], a)
+        ll = ll * site_weight[None, :]
+        return carry, jnp.sum(ll, axis=1)
 
-    _, out = jax.lax.scan(one_ind, None, (g0.T, g1.T, col_idx))
+    n = g0.shape[1]
+    _, out = jax.lax.scan(one_ind, None, (jnp.arange(n), col_idx))
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("num_partitions",))
 def assign_loglik_selected_partitioned(
-    g0, g1, af_bank, col_idx, site_weight, num_partitions: int
+    g0, g1, af_bank_t, col_idx, site_weight, num_partitions: int
 ):
     """Partitioned variant of :func:`assign_loglik_selected`.
 
@@ -104,12 +108,14 @@ def assign_loglik_selected_partitioned(
     assert m % p == 0, "site axis must be padded to a multiple of num_partitions"
 
     def one_ind(carry, inputs):
-        g0i, g1i, idx_i = inputs
-        a = jnp.take(af_bank, idx_i, axis=1)  # [M, K]
-        ll = site_loglik(g0i[:, None], g1i[:, None], a)
-        ll = ll * site_weight[:, None]
-        parts = jnp.sum(ll.reshape(m // p, p, -1), axis=0)  # [P, K]
-        return carry, (jnp.sum(parts, axis=0), parts)
+        i, idx_i = inputs
+        g0i = jax.lax.dynamic_index_in_dim(g0, i, axis=1, keepdims=False)
+        g1i = jax.lax.dynamic_index_in_dim(g1, i, axis=1, keepdims=False)
+        a = jnp.take(af_bank_t, idx_i, axis=0)  # [K, M]
+        ll = site_loglik(g0i[None, :], g1i[None, :], a)
+        ll = ll * site_weight[None, :]
+        parts = jnp.sum(ll.reshape(-1, m // p, p), axis=1)  # [K, P]
+        return carry, (jnp.sum(parts, axis=1), parts.T)
 
-    _, (ll, parts) = jax.lax.scan(one_ind, None, (g0.T, g1.T, col_idx))
+    _, (ll, parts) = jax.lax.scan(one_ind, None, (jnp.arange(n), col_idx))
     return ll, parts
