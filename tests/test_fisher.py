@@ -36,3 +36,15 @@ def test_fisher_matches_autodiff(breeding, breeding_ids):
         g1 = jnp.asarray(breeding.gl[s, members, 1])
         expect = -np.sum(np.asarray(d2(th, g0, g1)))
         np.testing.assert_allclose(res.f_obs[s, k], expect, rtol=5e-3)
+
+
+def test_ne_site_blocks_match(breeding, breeding_ids):
+    """Streamed site-block execution must match single-block results."""
+    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
+    whole = effective_sample_sizes(breeding, af, breeding_ids)
+    blocked = effective_sample_sizes(
+        breeding, af, breeding_ids, site_block=64
+    )
+    np.testing.assert_allclose(blocked.f_obs, whole.f_obs, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(blocked.ne_obs, whole.ne_obs, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(blocked.ne_ind, whole.ne_ind, rtol=1e-5, atol=1e-6)
