@@ -172,3 +172,45 @@ def test_downsampled_requires_loo(tmp_path):
     with pytest.raises(ValueError, match="requires that --loo"):
         run_cli(tmp_path, "--beagle", BREEDING_BEAGLE,
                 "--loo_downsampled_beagle", BREEDING_SUBSET_BEAGLE)
+
+
+def test_downsampled_sample_name_mismatch(tmp_path):
+    """Downsampled Beagle with different sample names must be rejected
+    (reference WGSassign.py:183-184)."""
+    import gzip as _gzip
+
+    bad = tmp_path / "renamed.beagle.gz"
+    with _gzip.open(BREEDING_SUBSET_BEAGLE, "rt") as f:
+        lines = f.readlines()
+    header = lines[0].replace("Ind0", "IndX")
+    with _gzip.open(bad, "wt") as f:
+        f.writelines([header] + lines[1:])
+    with pytest.raises(ValueError, match="Sample names in downsampled"):
+        run_cli(
+            tmp_path,
+            "--beagle", BREEDING_BEAGLE,
+            "--pop_af_IDs", BREEDING_IDS,
+            "--loo_downsampled_beagle", bad,
+            "--get_reference_af", "--loo",
+        )
+
+
+def test_ind_start_zero_accepted(tmp_path):
+    """Documented deviation: --ind_start 0 works (the reference rejected 0
+    despite claiming 0-indexing)."""
+    np.save(tmp_path / "af.npy", np.load(GOLDEN_DIR / "ref_af.npz")["af"])
+    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
+    np.savetxt(tmp_path / "pops.txt", pops, fmt="%s")
+    out = run_cli(
+        tmp_path,
+        "--beagle", NONBREEDING_BEAGLE,
+        "--pop_af_IDs", GOLDEN_DIR / "nonbreeding_assigned_ids.txt",
+        "--pop_af_file", tmp_path / "af.npy",
+        "--pop_names", tmp_path / "pops.txt",
+        "--ind_ad_file", GOLDEN_DIR / "nonbreeding_ad.txt.gz",
+        "--allele_count_threshold", 5,
+        "--get_assignment_z_score",
+        "--ind_start", 0, "--ind_end", 2,
+    )
+    z = np.loadtxt(str(out) + ".z_ind.txt")
+    assert np.isfinite(z).all()
