@@ -123,3 +123,15 @@ def test_native_loader_plain_text(tmp_path):
     d = read_beagle_native(str(p))
     assert d.site_names == ["s1", "s2"]
     np.testing.assert_allclose(d.gl[:, 0, :], [[0.25, 0.5], [1.0, 0.0]])
+
+
+def test_row_range_reading(breeding):
+    from wgsassign_tpu.io.beagle import read_beagle as rb
+
+    part = rb(str(BREEDING_BEAGLE), row_range=(100, 140))
+    assert part.n_sites == 40
+    np.testing.assert_array_equal(part.gl, breeding.gl[100:140])
+    assert part.site_names == breeding.site_names[100:140]
+    # past-the-end clamps
+    tail = rb(str(BREEDING_BEAGLE), row_range=(440, 500))
+    assert tail.n_sites == 9

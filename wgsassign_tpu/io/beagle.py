@@ -70,8 +70,13 @@ def _open_maybe_gzip(path: str) -> _io.BufferedReader:
     return f
 
 
-def _read_beagle_python(path: str) -> BeagleData:
-    """Pure-Python parser (pandas C engine for the float block)."""
+def _read_beagle_python(path: str, row_range=None) -> BeagleData:
+    """Pure-Python parser (pandas C engine for the float block).
+
+    ``row_range=(lo, hi)`` parses only data rows lo..hi-1 — the per-host
+    shard-loading path for multi-host runs (each host reads its own
+    contiguous block; see parallel.mesh.process_row_range).
+    """
     import pandas as pd
 
     with _open_maybe_gzip(path) as f:
@@ -85,12 +90,17 @@ def _read_beagle_python(path: str) -> BeagleData:
             )
         sample_names = tokens[3::3]
         n_inds = len(sample_names)
+        kwargs = {}
+        if row_range is not None:
+            lo, hi = row_range
+            kwargs = {"skiprows": lo, "nrows": max(hi - lo, 0)}
         df = pd.read_csv(
             f,
             sep="\t",
             header=None,
             dtype={0: str},
             na_filter=False,
+            **kwargs,
         )
     if df.shape[1] != n_cols:
         raise ValueError(
@@ -105,15 +115,17 @@ def _read_beagle_python(path: str) -> BeagleData:
     return BeagleData(gl, sample_names, site_names)
 
 
-def read_beagle(path: str, use_native: bool = True) -> BeagleData:
+def read_beagle(path: str, use_native: bool = True, row_range=None) -> BeagleData:
     """Parse a (gzipped) Beagle file into a :class:`BeagleData`.
 
     Prefers the native C++ streaming parser when available; falls back to the
-    pure-Python implementation.
+    pure-Python implementation.  ``row_range=(lo, hi)`` restricts parsing to
+    a contiguous data-row block (per-host shard loading; Python path only —
+    the native parser is used for full reads).
     """
     if not os.path.isfile(path):
         raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
-    if use_native:
+    if use_native and row_range is None:
         try:
             from wgsassign_tpu._native import read_beagle_native
 
@@ -122,7 +134,7 @@ def read_beagle(path: str, use_native: bool = True) -> BeagleData:
                 return result
         except ImportError:
             pass
-    return _read_beagle_python(path)
+    return _read_beagle_python(path, row_range=row_range)
 
 
 def filter_sites_to_common(data: BeagleData, target_site_names) -> BeagleData:
