@@ -140,3 +140,40 @@ def test_fused_sharded_mesh_matches_xla():
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-6)
+
+
+def test_fused_lane_unfriendly_site_count():
+    """Site counts whose largest power-of-two divisor is < 128 (e.g. 4000 =
+    32 * 125) must not produce an invalid <128-lane Pallas tile — regression
+    for the production-scale tile bug (now: single-tile fallback, and
+    ``to_device`` pads to mesh.PALLAS_SITE_TILE multiples)."""
+    from wgsassign_tpu.ops.pallas_emmaf import _tile_m
+
+    for m in (4000, 96, 449, 500000, 1 << 20):
+        tile = _tile_m(m, 24)
+        assert m % tile == 0
+        assert tile % 128 == 0 or tile == m
+
+    g0, g1, membership, pop_index, sw = _problem(m=4000)
+    f_ref, iters_ref, _ = em_maf_pops(
+        g0, g1, membership, pop_index, sw, 4000, 50, 1e-4
+    )
+    f, iters, _ = em_maf_pops_fused(
+        g0, g1, membership, sw, 4000, 50, 1e-4, chunk=16, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    # 50 unconverged f32 iterations accumulate ~1 ulp/iter of reduction-order
+    # drift; 1e-5 is far inside the 1e-4 convergence tolerance.
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=0, atol=1e-5)
+
+
+def test_site_multiple_includes_pallas_tile():
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import PALLAS_SITE_TILE, make_runtime
+
+    rt = make_runtime(jax.devices())
+    rt.use_pallas = True
+    assert rt.site_multiple() % (rt.n_devices * PALLAS_SITE_TILE) == 0
+    rt.use_pallas = False
+    assert rt.site_multiple(3) == rt.n_devices * 3

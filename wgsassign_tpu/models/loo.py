@@ -18,9 +18,12 @@ implementation reproduces exactly (see SURVEY §2.5), batched:
 Memory layout at production scale: every "few wide columns over M sites"
 array is kept **site-minor** (``[n_p, M]`` member panels, ``[N+K, M]`` AF
 bank) — TPU HBM tiling pads the minor dimension to 128 lanes, so the
-``[M, few]`` orientation would inflate several-fold.  Member panels are
-gathered host-side from the parsed Beagle matrix (free in host RAM) rather
-than on device; the AF bank is assembled host-side and shipped once.
+``[M, few]`` orientation would inflate several-fold.  The whole pipeline is
+device-resident: member panels are transposed gathers of the uploaded
+cohort, and the AF bank is assembled with one on-device scatter — the only
+host↔device traffic is the tiny ``[K, M]`` full-data AF upload and the
+``[N, K]`` result download (H2D/D2H of per-population panels would dominate
+wall-clock on PCIe/tunneled hosts).
 
 ``compat_af_mutation=False`` gives the statistically clean variant instead:
 foreign-population likelihoods always use the full-data AF.
@@ -28,6 +31,7 @@ foreign-population likelihoods always use the full-data AF.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -43,7 +47,7 @@ from wgsassign_tpu.ops.loglik import (
     assign_loglik_selected,
     assign_loglik_selected_partitioned,
 )
-from wgsassign_tpu.parallel.mesh import PAD_AF, PAD_G0, PAD_G1, Runtime
+from wgsassign_tpu.parallel.mesh import PAD_AF, Runtime
 
 
 @dataclass
@@ -103,24 +107,29 @@ def leave_one_out(
         )
 
     # --- batched LOO EM, one device computation per population -------------
-    # The AF bank is assembled host-side: rows 0..N-1 hold each individual's
-    # LOO AF, rows N..N+K-1 the full-data AF.
+    # Everything stays device-resident: the member panels are a transposed
+    # gather of the already-uploaded cohort (no host round-trip — H2D/D2H of
+    # [n_p, M] panels dominates wall-clock on PCIe/tunneled hosts), and the
+    # AF bank (rows 0..N-1 = each individual's LOO AF, rows N..N+K-1 = the
+    # full-data AF) is assembled with one on-device scatter.
     k = popmap.n_pops
-    bank_h = np.empty((n + k, m_pad), dtype=np.float32)
-    bank_h[n:, :m_real] = np.asarray(af_full, np.float32).T
-    bank_h[n:, m_real:] = PAD_AF
+    af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
+    af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
+    af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
+    # HBM peak control at production scale (5M sites x 180 inds is ~7.2 GB
+    # of GL panels + a 3.7 GB bank on a 16 GB chip): the bank buffer is
+    # donated through each per-population scatter, so updates alias instead
+    # of copying.
+    bank_t = _init_bank(n, af_t)
     iters = np.empty(n, dtype=np.int32)
     converged = np.empty(n, dtype=bool)
     for j, pop in enumerate(popmap.pops):
         members = popmap.members_of(pop)
-        # host-side member gather into the site-minor layout + padding
-        g0p = np.full((len(members), m_pad), PAD_G0, dtype=np.float32)
-        g1p = np.full((len(members), m_pad), PAD_G1, dtype=np.float32)
-        g0p[:, :m_real] = beagle.gl[:, members, 0].T
-        g1p[:, :m_real] = beagle.gl[:, members, 1].T
+        members_d = rt.replicate(members)
+        g0p, g1p = _member_panels(cohort.g0, cohort.g1, members_d)
         f_p, it_p, conv_p = em_maf_loo_group(
-            _shard_rows(rt, g0p),
-            _shard_rows(rt, g1p),
+            g0p,
+            g1p,
             cohort.site_weight,
             m_real,
             max_iter,
@@ -128,14 +137,12 @@ def leave_one_out(
         )
         n_loo = sizes[j] - 1
         min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
-        bank_h[members] = np.clip(np.asarray(f_p), min_val, 1.0 - min_val)
+        bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
         iters[members] = np.asarray(it_p)
         converged[members] = np.asarray(conv_p)
         if verbose:
             print(f"LOO EM for population {pop}: {len(members)} problems, "
                   f"iterations {np.asarray(it_p).min()}..{np.asarray(it_p).max()}")
-
-    bank_t = _shard_rows(rt, bank_h)
     col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
 
     # --- likelihood evaluation (optionally on the downsampled GLs) ---------
@@ -162,6 +169,30 @@ def leave_one_out(
             n * num_partitions, -1
         )
     return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)
+
+
+@jax.jit
+def _member_panels(g0, g1, members):
+    """Transposed device-side gather of one population's member columns:
+    ``[M, N] -> [n_p, M]`` (site-minor).  Padded cohort rows already hold the
+    (PAD_G0, PAD_G1) GL pattern the LOO EM pins to its fixed point."""
+    return jnp.take(g0, members, axis=1).T, jnp.take(g1, members, axis=1).T
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _init_bank(n: int, af_t):
+    """``[N + K, M]`` AF bank: rows 0..N-1 to be filled with LOO AFs, rows
+    N.. hold the full-data AF."""
+    return jnp.concatenate(
+        [jnp.zeros((n, af_t.shape[1]), af_t.dtype), af_t], axis=0
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _bank_scatter(bank, members, f_p, min_val):
+    """Clamp one population's LOO AF rows and scatter them into the (donated,
+    so updated in place) bank."""
+    return bank.at[members].set(jnp.clip(f_p, min_val, 1.0 - min_val))
 
 
 def _shard_rows(rt: Runtime, arr: np.ndarray):

@@ -58,10 +58,20 @@ _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 
 
 def _tile_m(m: int, n: int) -> int:
+    """Pick the site-tile size for the chunk kernel.
+
+    The tile is the lane (minor) dimension of the transposed ``[K, tile]``
+    AF block, so Mosaic requires ``tile % 128 == 0`` — or a single tile
+    equal to the whole array (any size), the small-problem fallback.  At
+    production scale ``to_device`` pads the site axis so a >=128 divisor
+    always exists (mesh.PALLAS_SITE_TILE); the 128 floor means cohorts with
+    very large N (> ~10k individuals) exceed the soft VMEM budget — switch
+    those to the XLA path (``use_pallas=False``).
+    """
     tile = _VMEM_BUDGET_BYTES // (2 * 4 * max(n, 1))
     tile = 1 << (int(tile).bit_length() - 1)  # floor to power of two
-    tile = max(64, min(tile, 2048))
-    while m % tile != 0 and tile > 8:
+    tile = max(128, min(tile, 2048))
+    while m % tile != 0 and tile > 128:
         tile //= 2
     return tile if m % tile == 0 else m  # fall back to one tile
 

@@ -31,6 +31,11 @@ PAD_G0 = 1.0
 PAD_G1 = 0.0
 PAD_AF = 0.5
 
+# Per-device site shards feeding the fused Pallas EM must be divisible by a
+# power of two >= 128 (lane width of the transposed AF blocks).  256 keeps
+# the padding overhead negligible while guaranteeing a valid tile.
+PALLAS_SITE_TILE = 256
+
 
 @dataclass
 class Runtime:
@@ -61,8 +66,14 @@ class Runtime:
 
     # -- padding -----------------------------------------------------------
     def site_multiple(self, extra: int = 1) -> int:
-        """Sites must be padded to a multiple of (n_devices * extra)."""
-        return self.n_devices * extra
+        """Sites must be padded to a multiple of (n_devices * extra),
+        times the Pallas site tile when the fused-kernel path is active —
+        the per-device shard must offer a >=128 divisor for the lane
+        dimension of the ``[K, tile]`` AF blocks (ops/pallas_emmaf.py)."""
+        base = self.n_devices * extra
+        if self.pallas_enabled():
+            base *= PALLAS_SITE_TILE
+        return base
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
