@@ -177,3 +177,24 @@ def test_site_multiple_includes_pallas_tile():
     assert rt.site_multiple() % (rt.n_devices * PALLAS_SITE_TILE) == 0
     rt.use_pallas = False
     assert rt.site_multiple(3) == rt.n_devices * 3
+
+
+def test_fused_site_block_streaming(monkeypatch):
+    """The blocked driver (HBM-peak control at production scale) must match
+    the unblocked path: same AF panel, same convergence iterations."""
+    import wgsassign_tpu.ops.pallas_emmaf as pe
+
+    g0, g1, membership, pop_index, sw = _problem(m=96)
+    f_ref, iters_ref, conv_ref = em_maf_pops(
+        g0, g1, membership, pop_index, sw, 96, 200, 1e-4
+    )
+    # force blocking: 3 blocks of 32 sites (+ alignment floor)
+    monkeypatch.setattr(pe, "_BLOCK_OPERAND_BYTES", 1)
+    assert pe._block_sites(96, g0.shape[1], 32) == 32
+    monkeypatch.setattr(pe, "_block_sites", lambda m, n, align: 32)
+    f, iters, conv = em_maf_pops_fused(
+        g0, g1, membership, sw, 96, 200, 1e-4, chunk=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6)

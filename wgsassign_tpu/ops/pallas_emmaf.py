@@ -56,6 +56,22 @@ _F32 = jnp.float32
 # buffered) plus w/g2 temporaries; keep comfortably under ~16 MB/core.
 _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 
+# HBM-peak control: Mosaic pins pallas operand layouts, so XLA materializes
+# lane-padded tiled copies of the GL operands (N=180 pads to 256 lanes —
+# a 1.4x expansion; two full copies at 5M sites is ~9.5 GB of HLO temps and
+# OOMs a 16 GB chip next to the 7 GB arguments).  The EM is per-site
+# independent, so the driver streams each chunk of iterations over site
+# blocks sized to keep the converted copies around this many bytes; only
+# the per-chunk convergence partials are global.
+_BLOCK_OPERAND_BYTES = 1 << 30
+
+
+def _block_sites(m: int, n: int, align: int) -> int:
+    lanes = -(-max(n, 1) // 128) * 128
+    b = _BLOCK_OPERAND_BYTES // (2 * 4 * lanes)
+    b = max(align, (b // align) * align)
+    return min(m, b)
+
 
 def _tile_m(m: int, n: int) -> int:
     """Pick the site-tile size for the chunk kernel.
@@ -170,9 +186,33 @@ def em_chunk_pallas(g0, g1, ft, onehot, inv_counts, limits,
             jax.ShapeDtypeStruct((k, m), _F32),
             jax.ShapeDtypeStruct((T, k), _F32),
         ],
+        # The T-unrolled iteration body keeps O(T-independent but ~20) live
+        # [tile, N] f32 buffers on the Mosaic stack — past the conservative
+        # 16 MB default scoped limit for wide cohorts (N >= ~160 at tile
+        # 2048).  TPU cores have >= 64 MB of VMEM (128 MB on v4/v5); allow
+        # half of the conservative bound.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(g0, g1, ft, onehot, limits)
     return ft_new, sq
+
+
+@functools.partial(
+    jax.jit, static_argnames=("size", "T", "inv_counts", "interpret")
+)
+def _em_chunk_block(g0, g1, ft, onehot, inv_counts, limits, lo, size,
+                    T: int, interpret: bool):
+    """One site block of a fused chunk: slice the GL/AF operands inside jit
+    (so only the block's lane-padded pallas copies materialize) and run the
+    chunk kernel on the block."""
+    g0b = jax.lax.dynamic_slice_in_dim(g0, lo, size, axis=0)
+    g1b = jax.lax.dynamic_slice_in_dim(g1, lo, size, axis=0)
+    ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=1)
+    return em_chunk_pallas(
+        g0b, g1b, ftb, onehot, inv_counts, limits, T, interpret=interpret
+    )
 
 
 def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
@@ -251,22 +291,49 @@ def em_maf_pops_fused(
         ft_sharding = NamedSharding(runtime.mesh, P(None, SNP_AXIS))
         ft = jax.device_put(np.ascontiguousarray(ft_h), ft_sharding)
         onehot = runtime.replicate(np.asarray(membership.T))
+        block_m = _block_sites(m, n, 256 * runtime.n_devices)
 
-        def run_chunk(ft_in, limits_arr, T):
+        def run_block(lo, hi, ft_in, limits_arr, T):
+            if lo == 0 and hi == m:
+                return em_chunk_sharded(
+                    runtime, g0, g1, ft_in, onehot,
+                    inv_counts, limits_arr, T, interpret=interpret,
+                )
+            # static slices of sharded arrays stay shard-local (bounds are
+            # aligned to n_devices * 256)
             return em_chunk_sharded(
-                runtime, g0, g1, ft_in, onehot,
+                runtime, g0[lo:hi], g1[lo:hi], ft_in[:, lo:hi], onehot,
                 inv_counts, limits_arr, T, interpret=interpret,
             )
 
     else:
         ft = jnp.asarray(np.ascontiguousarray(ft_h))
         onehot = jnp.asarray(membership.T)
+        block_m = _block_sites(m, n, 256)
 
-        def run_chunk(ft_in, limits_arr, T):
-            return em_chunk_pallas(
-                g0, g1, ft_in, onehot, inv_counts, limits_arr, T,
-                interpret=interpret,
+        def run_block(lo, hi, ft_in, limits_arr, T):
+            if lo == 0 and hi == m:
+                return em_chunk_pallas(
+                    g0, g1, ft_in, onehot, inv_counts, limits_arr, T,
+                    interpret=interpret,
+                )
+            # dynamic_slice keyed on block *size* so all full blocks share
+            # one compiled program (+1 for the tail block)
+            return _em_chunk_block(
+                g0, g1, ft_in, onehot, inv_counts, limits_arr,
+                jnp.asarray(lo, jnp.int32), hi - lo, T, interpret,
             )
+
+    def run_chunk(ft_in, limits_arr, T):
+        if block_m >= m:
+            out = run_block(0, m, ft_in, limits_arr, T)
+            return out
+        fts, sq = [], None
+        for lo in range(0, m, block_m):
+            ftb, sqb = run_block(lo, min(lo + block_m, m), ft_in, limits_arr, T)
+            fts.append(ftb)
+            sq = sqb if sq is None else sq + sqb
+        return jnp.concatenate(fts, axis=1), sq
 
     iters = np.full(k, max_iter, dtype=np.int32)
     active = np.ones(k, dtype=bool)
