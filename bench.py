@@ -63,7 +63,7 @@ def tpu_updates_per_sec():
     np.asarray(jnp.ones(8).sum())
 
     rt = make_runtime(jax.devices()[:1])
-    interpret = jax.devices()[0].platform not in ("tpu",)
+    interpret = rt.pallas_interpret()  # capability probe, not a name test
     g0, g1 = _synthetic_gl(M, N)
     g0d = rt.shard_sites(g0)
     g1d = rt.shard_sites(g1)

@@ -198,3 +198,52 @@ def test_fused_site_block_streaming(monkeypatch):
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6)
+
+
+def test_sharded_chunk_program_cache():
+    """em_chunk_sharded must reuse one traced program per distinct
+    (mesh, chunk length, pop weights, interpret) — a fresh jit per chunk
+    invocation would retrace on every chunk/replay/block."""
+    import jax
+
+    from wgsassign_tpu.ops import pallas_emmaf as pe
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    g0, g1, membership, pop_index, sw = _problem(m=128, n=16, k=2, seed=9)
+    rt = make_runtime(jax.devices())
+    onehot = np.asarray(membership.T, np.float32)
+    inv_counts = tuple(1.0 / membership.sum(axis=0))
+    ft = rt.replicate(np.full((2, 128), 0.25, np.float32))
+    g0d, g1d = rt.shard_sites(g0), rt.shard_sites(g1)
+    limits = np.full((1, 2), 4.0, np.float32)
+
+    pe._SHARDED_CHUNK_CACHE.clear()
+    pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
+                        rt.replicate(limits), 4, interpret=True)
+    assert len(pe._SHARDED_CHUNK_CACHE) == 1
+    # second call with different limit *values* (same shapes): cache hit
+    limits2 = np.full((1, 2), 2.0, np.float32)
+    pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
+                        rt.replicate(limits2), 4, interpret=True)
+    assert len(pe._SHARDED_CHUNK_CACHE) == 1
+    # different chunk length: one new entry
+    pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
+                        rt.replicate(limits2), 2, interpret=True)
+    assert len(pe._SHARDED_CHUNK_CACHE) == 2
+
+
+def test_pallas_capability_probe():
+    """pallas_enabled() must be a capability probe, not a platform-name
+    test: on the CPU test backend Mosaic is unavailable, so auto mode must
+    pick the XLA path (and interpret mode for forced-pallas runs), while
+    explicit flags are always honored."""
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    rt_auto = make_runtime(jax.devices()[:1])
+    assert rt_auto.pallas_enabled() is False
+    assert rt_auto.pallas_interpret() is True
+    rt_forced = make_runtime(jax.devices()[:1], use_pallas=True)
+    assert rt_forced.pallas_enabled() is True
+    assert rt_forced.pallas_interpret() is True

@@ -143,7 +143,10 @@ def test_em_maf_pops_vs_scalar_loop():
     assert bool(conv[0])
     # accumulation order differs (serial scalar vs dot) — tolerance-level
     np.testing.assert_allclose(np.asarray(f)[:, 0], f_ref, rtol=5e-5, atol=5e-6)
-    assert int(iters[0]) == iters_ref
+    # accumulation-order differences (MXU dot vs serial sum) can flip an
+    # RMSE-vs-tol decision exactly at the boundary on some backends; allow
+    # one iteration of slack
+    assert abs(int(iters[0]) - iters_ref) <= 1
 
 
 # ---------------------------------------------------------------------------

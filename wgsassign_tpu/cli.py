@@ -116,6 +116,9 @@ parser.add_argument("--mcmc_seed", metavar="INT", type=int, default=None,
     help="Random seed for --get_mcmc_mix")
 parser.add_argument("--mcmc_last_draw", action="store_true",
     help="MCMC: report the last draw instead of the posterior mean")
+parser.add_argument("--f32_sums", action="store_true",
+    help="Accumulate site-axis log-likelihood sums in float32 (single fused "
+         "reduction) instead of the reference-matching blocked-f64 scheme")
 parser.add_argument("--em_checkpoint", action="store_true",
     help="Periodically checkpoint EM state next to the output prefix and "
          "resume from it (fused-kernel path)")
@@ -280,6 +283,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     cohort=cohort,
                     compat_af_mutation=not args.loo_clean_af,
                     verbose=True,
+                    f64_sums=not args.f32_sums,
                 )
             suffix = "_downsampled" if downsampled is not None else ""
             outfile = f"{args.out}.pop_like_LOO{suffix}.tsv"
@@ -310,7 +314,9 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         print("Calculating likelihood of population assignment")
         print(f"{beagle.n_inds} individuals to assign to {af.shape[1]} populations")
         with timer.phase("pop_like"):
-            ll = assignment_loglikelihoods(beagle, af, cohort=cohort)
+            ll = assignment_loglikelihoods(
+                beagle, af, cohort=cohort, f64_sums=not args.f32_sums
+            )
         writers.write_loglike_txt(args.out, ll)
         print(f"Saved population assignment log likelihoods as {args.out}.pop_like.txt (text)")
 

@@ -45,7 +45,9 @@ from wgsassign_tpu.models.common import DeviceCohort, to_device
 from wgsassign_tpu.ops.emmaf import em_maf_loo_group
 from wgsassign_tpu.ops.loglik import (
     assign_loglik_selected,
+    assign_loglik_selected_f64,
     assign_loglik_selected_partitioned,
+    assign_loglik_selected_partitioned_f64,
 )
 from wgsassign_tpu.parallel.mesh import PAD_AF, Runtime
 
@@ -91,6 +93,7 @@ def leave_one_out(
     cohort: Optional[DeviceCohort] = None,
     compat_af_mutation: bool = True,
     verbose: bool = False,
+    f64_sums: bool = True,
 ) -> LooResult:
     if cohort is None:
         cohort = to_device(beagle, runtime, site_multiple=num_partitions)
@@ -157,13 +160,25 @@ def leave_one_out(
         src = cohort
 
     if num_partitions <= 1:
-        ll = assign_loglik_selected(src.g0, src.g1, bank_t, col_idx, src.site_weight)
+        if f64_sums:
+            ll = assign_loglik_selected_f64(
+                src.g0, src.g1, bank_t, col_idx, src.site_weight
+            )
+        else:
+            ll = assign_loglik_selected(
+                src.g0, src.g1, bank_t, col_idx, src.site_weight
+            )
         ll = np.asarray(ll, dtype=np.float32)
         parts = ll.reshape(n * 1, -1)
     else:
-        ll_d, parts_d = assign_loglik_selected_partitioned(
-            src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
-        )
+        if f64_sums:
+            ll_d, parts_d = assign_loglik_selected_partitioned_f64(
+                src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
+            )
+        else:
+            ll_d, parts_d = assign_loglik_selected_partitioned(
+                src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
+            )
         ll = np.asarray(ll_d, dtype=np.float32)
         parts = np.asarray(parts_d, dtype=np.float32).reshape(
             n * num_partitions, -1

@@ -61,7 +61,7 @@ def estimate_reference_af(
             cohort.m_real,
             max_iter,
             tol,
-            interpret=rt.mesh.devices.flat[0].platform != "tpu",
+            interpret=rt.pallas_interpret(),
             checkpoint=ckpt,
             runtime=rt,
         )

@@ -215,11 +215,17 @@ def _em_chunk_block(g0, g1, ft, onehot, inv_counts, limits, lo, size,
     )
 
 
-def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
-                     limits, T: int, interpret: bool = False):
-    """Mesh-parallel wrapper: run the fused chunk kernel per device shard
-    under ``shard_map`` and ``psum`` the squared-diff partials over the SNP
-    axis.  ``ft`` is sharded along its site (second) axis."""
+# One traced+compiled shard_map program per distinct (mesh, chunk length,
+# population weights, interpret) — without this cache every chunk invocation
+# (x2 on replay, x site blocks) would rebuild the closure and retrace.
+_SHARDED_CHUNK_CACHE = {}
+
+
+def _sharded_chunk_fn(mesh, inv_counts, T: int, interpret: bool):
+    key = (mesh, inv_counts, T, interpret)
+    fn = _SHARDED_CHUNK_CACHE.get(key)
+    if fn is not None:
+        return fn
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -228,8 +234,6 @@ def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
 
     from wgsassign_tpu.parallel.mesh import SNP_AXIS
 
-    mesh = runtime.mesh
-
     def body(g0s, g1s, fts, onehot_s, limits_s):
         ft_new, sq = em_chunk_pallas(
             g0s, g1s, fts, onehot_s, inv_counts, limits_s, T,
@@ -237,7 +241,7 @@ def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -246,8 +250,18 @@ def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
         ),
         out_specs=(P(None, SNP_AXIS), P(None, None)),
         check_vma=False,
-    )
-    return jax.jit(fn)(g0, g1, ft, onehot, limits)
+    ))
+    _SHARDED_CHUNK_CACHE[key] = fn
+    return fn
+
+
+def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
+                     limits, T: int, interpret: bool = False):
+    """Mesh-parallel wrapper: run the fused chunk kernel per device shard
+    under ``shard_map`` and ``psum`` the squared-diff partials over the SNP
+    axis.  ``ft`` is sharded along its site (second) axis."""
+    fn = _sharded_chunk_fn(runtime.mesh, inv_counts, T, interpret)
+    return fn(g0, g1, ft, onehot, limits)
 
 
 def em_maf_pops_fused(

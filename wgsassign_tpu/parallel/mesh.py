@@ -78,7 +78,51 @@ class Runtime:
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        return self.mesh.devices.flat[0].platform == "tpu"
+        return _probe_pallas(self.mesh.devices.flat[0])
+
+    def pallas_interpret(self) -> bool:
+        """Whether Pallas kernels must run in interpret mode here (no Mosaic
+        backend — e.g. forced on via ``use_pallas`` on a CPU test mesh)."""
+        return not _probe_pallas(self.mesh.devices.flat[0])
+
+
+# Capability probe result per device kind (a platform-name test would
+# silently flip the engine to the slow path under plugin backends that
+# report their own platform string, e.g. "axon" fronting a real TPU chip).
+_PALLAS_PROBE_CACHE: dict = {}
+
+
+def _probe_pallas(device) -> bool:
+    """True iff a trivial Mosaic (non-interpret) Pallas kernel compiles and
+    runs on ``device``.  Probed once per device kind and logged, so the
+    chosen engine path is always visible in the run log."""
+    key = (device.platform, getattr(device, "device_kind", ""))
+    hit = _PALLAS_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import logging
+
+    log = logging.getLogger("wgsassign_tpu")
+    try:
+        import jax.experimental.pallas as pl
+
+        def _copy(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+
+        x = jax.device_put(np.zeros((8, 128), np.float32), device)
+        out = pl.pallas_call(
+            _copy, out_shape=jax.ShapeDtypeStruct((8, 128), np.float32)
+        )(x)
+        ok = bool(np.asarray(out)[0, 0] == 1.0)
+    except Exception as e:  # noqa: BLE001 — any failure means "no Mosaic"
+        log.info("pallas probe failed on %s (%s): %s", key, type(e).__name__, e)
+        ok = False
+    log.info(
+        "engine path on %s: %s",
+        key, "fused Pallas kernels" if ok else "pure-XLA kernels",
+    )
+    _PALLAS_PROBE_CACHE[key] = ok
+    return ok
 
 
 def pad_sites(arr: np.ndarray, multiple: int, pad_value: float) -> np.ndarray:
