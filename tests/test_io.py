@@ -135,3 +135,27 @@ def test_row_range_reading(breeding):
     # past-the-end clamps
     tail = rb(str(BREEDING_BEAGLE), row_range=(440, 500))
     assert tail.n_sites == 9
+
+
+def test_native_row_range_matches_python():
+    from wgsassign_tpu._native import read_beagle_native
+    from wgsassign_tpu.io.beagle import _read_beagle_python
+
+    native = read_beagle_native(str(BREEDING_BEAGLE), row_range=(100, 140))
+    if native is None:
+        pytest.skip("native loader unavailable (no toolchain)")
+    py = _read_beagle_python(str(BREEDING_BEAGLE), row_range=(100, 140))
+    np.testing.assert_array_equal(native.gl, py.gl)
+    assert native.site_names == py.site_names
+    # windows crossing the decompression chunk boundary / clamped at EOF
+    tail = read_beagle_native(str(BREEDING_BEAGLE), row_range=(440, 500))
+    assert tail.n_sites == 9
+    empty = read_beagle_native(str(BREEDING_BEAGLE), row_range=(460, 500))
+    assert empty.n_sites == 0 and empty.n_inds == 85
+
+
+def test_beagle_dims():
+    from wgsassign_tpu.io.beagle import beagle_dims
+
+    assert beagle_dims(str(BREEDING_BEAGLE)) == (449, 85)
+    assert beagle_dims(str(BREEDING_BEAGLE), use_native=False) == (449, 85)

@@ -11,12 +11,19 @@
 //
 // C ABI (consumed from Python via ctypes):
 //   beagle_read(path, n_threads) -> BeagleResult*   (NULL on open failure)
+//   beagle_read_range(path, n_threads, lo, hi) -> BeagleResult*
+//       parses only data rows [lo, hi) — the per-host shard-loading path
+//       for multi-host runs (each host reads its own contiguous row block;
+//       decompression stops as soon as the window is exhausted)
+//   beagle_dims(path, &m, &n) -> 0 on success
+//       fast dimensions scan: header parse + newline count, no float work
 //   beagle_free(result)
 //
 // Build: g++ -O3 -shared -fPIC beagle_reader.cpp -lz -lpthread
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cctype>
 #include <cmath>
@@ -36,8 +43,29 @@ struct Chunk {
   std::vector<float> gl;      // parsed floats (2 per individual per row)
   std::string sites;          // '\n'-joined marker names
   int64_t rows = 0;
+  int64_t skip = 0;           // leading data rows to pass over unparsed
+  int64_t take = -1;          // data rows to parse after skipping (-1: all)
   std::string error;
 };
+
+// Number of data rows (lines with at least one non-whitespace char) in a
+// newline-terminated text block.  Cheap single pass — lets the range reader
+// assign global row indices to chunks before dispatching them.
+int64_t count_data_lines(const char* p, const char* end) {
+  int64_t n = 0;
+  while (p < end) {
+    const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!line_end) line_end = end;
+    for (const char* q = p; q < line_end; ++q) {
+      if (*q != ' ' && *q != '\t' && *q != '\r') {
+        ++n;
+        break;
+      }
+    }
+    p = line_end + 1;
+  }
+  return n;
+}
 
 // Fast float parse for the common fixed-format case ("0.799992",
 // "-1.5e-3"); falls back to strtod for anything unusual.  Returns nullptr
@@ -101,8 +129,11 @@ inline const char* skip_token(const char* p, const char* end) {
 void parse_chunk(Chunk* chunk, int64_t n_inds) {
   const char* p = chunk->data.data();
   const char* end = p + chunk->data.size();
+  int64_t skip = chunk->skip;
+  int64_t take = chunk->take;
   chunk->gl.reserve((chunk->data.size() / 8));
   while (p < end) {
+    if (take == 0) break;
     const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
     if (!line_end) line_end = end;
     // marker token
@@ -114,6 +145,12 @@ void parse_chunk(Chunk* chunk, int64_t n_inds) {
       p = line_end + 1;
       continue;
     }
+    if (skip > 0) {  // data row before the requested window
+      --skip;
+      p = line_end + 1;
+      continue;
+    }
+    if (take > 0) --take;
     chunk->sites.append(tok_start, tok_end - tok_start);
     chunk->sites.push_back('\n');
     // skip allele1, allele2
@@ -171,7 +208,12 @@ static BeagleResult* fail(BeagleResult* r, const std::string& msg) {
   return r;
 }
 
-BeagleResult* beagle_read(const char* path, int n_threads) {
+// Parse data rows [lo, hi) of the file ([0, inf) when hi < 0).  The gzip
+// stream is sequential, so rows before `lo` are still decompressed and
+// line-counted, but never tokenized into floats; decompression stops at the
+// first chunk past `hi`.
+BeagleResult* beagle_read_range(const char* path, int n_threads, int64_t lo,
+                                int64_t hi) {
   BeagleResult* r = new BeagleResult();
   gzFile f = gzopen(path, "rb");
   if (!f) return fail(r, std::string("cannot open ") + path);
@@ -220,15 +262,37 @@ BeagleResult* beagle_read(const char* path, int n_threads) {
   // --- decompress into newline-aligned chunks, parse in worker threads ---
   std::vector<Chunk*> chunks;
   std::vector<std::thread> workers;
-  std::atomic<bool> had_error{false};
   std::string carry;
   std::vector<char> buf(kChunkSize);
+  int64_t row_counter = 0;  // global data-row index of the next chunk start
+  auto dispatch = [&](std::string text) {
+    int64_t c_lines = count_data_lines(text.data(), text.data() + text.size());
+    int64_t chunk_lo = row_counter;
+    row_counter += c_lines;
+    // overlap of this chunk's rows with the requested [lo, hi) window
+    int64_t skip = std::max<int64_t>(0, lo - chunk_lo);
+    int64_t take =
+        hi < 0 ? c_lines - skip
+               : std::min(row_counter, hi) - std::max(chunk_lo, lo);
+    if (take <= 0) return;  // entirely outside the window
+    Chunk* c = new Chunk();
+    c->data = std::move(text);
+    c->skip = skip;
+    c->take = take;
+    chunks.push_back(c);
+    workers.emplace_back(parse_chunk, c, n_inds);
+    if (static_cast<int>(workers.size()) >= n_threads) {
+      workers.front().join();
+      workers.erase(workers.begin());
+    }
+  };
   for (;;) {
+    if (hi >= 0 && row_counter >= hi) break;  // window exhausted — stop early
     int got = gzread(f, buf.data(), buf.size());
     if (got < 0) {
-      had_error = true;
       for (auto& t : workers) t.join();
       gzclose(f);
+      for (Chunk* d : chunks) delete d;
       return fail(r, "gzip stream error");
     }
     if (got == 0) break;
@@ -241,22 +305,13 @@ BeagleResult* beagle_read(const char* path, int n_threads) {
     }
     carry = text.substr(last_nl + 1);
     text.resize(last_nl + 1);
-    Chunk* c = new Chunk();
-    c->data = std::move(text);
-    chunks.push_back(c);
-    workers.emplace_back(parse_chunk, c, n_inds);
-    if (static_cast<int>(workers.size()) >= n_threads) {
-      workers.front().join();
-      workers.erase(workers.begin());
-    }
+    dispatch(std::move(text));
   }
   gzclose(f);
-  if (!carry.empty()) {  // final line without trailing newline
+  if (!carry.empty() && !(hi >= 0 && row_counter >= hi)) {
+    // final line without trailing newline
     carry.push_back('\n');
-    Chunk* c = new Chunk();
-    c->data = std::move(carry);
-    chunks.push_back(c);
-    workers.emplace_back(parse_chunk, c, n_inds);
+    dispatch(std::move(carry));
   }
   for (auto& t : workers) t.join();
 
@@ -292,6 +347,77 @@ BeagleResult* beagle_read(const char* path, int n_threads) {
   }
   *sp = '\0';
   return r;
+}
+
+BeagleResult* beagle_read(const char* path, int n_threads) {
+  return beagle_read_range(path, n_threads, 0, -1);
+}
+
+// Fast dimensions scan: header column count + data-row count, no float
+// parsing.  Returns 0 on success; 1 open failure, 2 malformed header,
+// 3 gzip stream error.
+int beagle_dims(const char* path, int64_t* m_out, int64_t* n_out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return 1;
+  gzbuffer(f, 1u << 20);
+  std::string header;
+  {
+    char buf[1 << 16];
+    for (;;) {
+      if (gzgets(f, buf, sizeof(buf)) == nullptr) {
+        gzclose(f);
+        return 2;
+      }
+      header += buf;
+      if (!header.empty() && header.back() == '\n') break;
+    }
+  }
+  int64_t n_cols = 0;
+  {
+    const char* p = header.data();
+    const char* end = p + header.size();
+    while (p < end) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+        ++p;
+      const char* tok = p;
+      p = skip_token(p, end);
+      if (p == tok) break;
+      ++n_cols;
+    }
+  }
+  if (n_cols < 6 || (n_cols - 3) % 3 != 0) {
+    gzclose(f);
+    return 2;
+  }
+  int64_t m = 0;
+  std::string carry;
+  std::vector<char> buf(kChunkSize);
+  for (;;) {
+    int got = gzread(f, buf.data(), buf.size());
+    if (got < 0) {
+      gzclose(f);
+      return 3;
+    }
+    if (got == 0) break;
+    std::string text = std::move(carry);
+    text.append(buf.data(), got);
+    size_t last_nl = text.find_last_of('\n');
+    if (last_nl == std::string::npos) {
+      carry = std::move(text);
+      continue;
+    }
+    carry = text.substr(last_nl + 1);
+    text.resize(last_nl + 1);
+    m += count_data_lines(text.data(), text.data() + text.size());
+  }
+  gzclose(f);
+  if (!carry.empty()) {
+    carry.push_back('\n');
+    m += count_data_lines(carry.data(), carry.data() + carry.size());
+  }
+  *m_out = m;
+  *n_out = (n_cols - 3) / 3;
+  return 0;
 }
 
 }  // extern "C"

@@ -120,21 +120,49 @@ def read_beagle(path: str, use_native: bool = True, row_range=None) -> BeagleDat
 
     Prefers the native C++ streaming parser when available; falls back to the
     pure-Python implementation.  ``row_range=(lo, hi)`` restricts parsing to
-    a contiguous data-row block (per-host shard loading; Python path only —
-    the native parser is used for full reads).
+    a contiguous data-row block (the per-host shard-loading window for
+    multi-host runs — supported by both parsers; the native one stops
+    decompressing at the end of the window).
     """
     if not os.path.isfile(path):
         raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
-    if use_native and row_range is None:
+    if use_native:
         try:
             from wgsassign_tpu._native import read_beagle_native
 
-            result = read_beagle_native(path)
+            result = read_beagle_native(path, row_range=row_range)
             if result is not None:
                 return result
         except ImportError:
             pass
     return _read_beagle_python(path, row_range=row_range)
+
+
+def beagle_dims(path: str, use_native: bool = True):
+    """Dimensions ``(m_sites, n_inds)`` of a Beagle file without parsing any
+    genotype likelihoods — header column count + data-row count.  Multi-host
+    startup uses this to compute each process's row window."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    if use_native:
+        try:
+            from wgsassign_tpu._native import beagle_dims_native
+
+            dims = beagle_dims_native(path)
+            if dims is not None:
+                return dims
+        except ImportError:
+            pass
+    with _open_maybe_gzip(path) as f:
+        tokens = f.readline().decode().split()
+        n_cols = len(tokens)
+        if n_cols < 6 or (n_cols - 3) % 3 != 0:
+            raise ValueError(
+                f"Malformed Beagle header in {path}: {n_cols} columns "
+                "(expected 3 + 3*N_individuals)"
+            )
+        m = sum(1 for line in f if line.strip())
+    return m, (n_cols - 3) // 3
 
 
 def filter_sites_to_common(data: BeagleData, target_site_names) -> BeagleData:
