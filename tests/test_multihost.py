@@ -4,11 +4,20 @@ sharded array, and must reproduce the single-process result exactly
 (iteration counts included)."""
 
 import pathlib
+import socket
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+
+def _free_port() -> str:
+    """Ephemeral port for the jax.distributed coordinator (hardcoded ports
+    collide under parallel CI)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
 
 _WORKER = r"""
 import os, sys
@@ -53,7 +62,7 @@ def test_two_process_em(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     out = tmp_path / "result.npz"
-    port = "9923"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", port, repo, str(out)],
@@ -145,9 +154,10 @@ def test_two_process_sharded_loading(tmp_path):
     worker = tmp_path / "worker2.py"
     worker.write_text(_WORKER_SHARDED_LOAD)
     out = tmp_path / "res.npz"
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", "9929", repo, str(out)],
+            [sys.executable, str(worker), str(i), "2", port, repo, str(out)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -177,3 +187,88 @@ def test_two_process_sharded_loading(tmp_path):
     )
     got = np.load(out)["ll"]
     np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-4)
+
+
+_WORKER_CLI = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=" + sys.argv[1]
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[2])
+from wgsassign_tpu.cli import main
+main(sys.argv[3:])
+print("WORKER_OK", os.environ.get("WGSA_PROCESS_ID", "single"),
+      file=sys.stderr, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cli_workflow(tmp_path):
+    """The full CLI path under jax.distributed: 2 processes x 2 virtual CPU
+    devices, per-host Beagle row-shard loading, reference-AF + Ne + LOO —
+    outputs must match a single-process run on the same 4-device mesh."""
+    from conftest import BREEDING_BEAGLE, BREEDING_IDS
+
+    repo = str(pathlib.Path(__file__).parent.parent)
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_WORKER_CLI)
+    flags = [
+        "--beagle", str(BREEDING_BEAGLE),
+        "--pop_af_IDs", str(BREEDING_IDS),
+        "--get_reference_af", "--ne_obs", "--loo",
+    ]
+
+    port = _free_port()
+    out_multi = tmp_path / "multi"
+    procs = []
+    for i in range(2):
+        env = dict(
+            **__import__("os").environ,
+            WGSA_COORDINATOR_ADDRESS=f"localhost:{port}",
+            WGSA_NUM_PROCESSES="2",
+            WGSA_PROCESS_ID=str(i),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), "2", repo,
+             *flags, "--out", str(out_multi)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        ))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{log[-4000:]}"
+        assert f"WORKER_OK {i}" in log
+
+    out_single = tmp_path / "single"
+    p = subprocess.run(
+        [sys.executable, str(worker), "4", repo,
+         *flags, "--out", str(out_single)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=600,
+    )
+    assert p.returncode == 0, f"single-process run failed:\n{p.stdout[-4000:]}"
+
+    af_m = np.load(str(out_multi) + ".pop_af.npy")
+    af_s = np.load(str(out_single) + ".pop_af.npy")
+    assert af_m.shape == af_s.shape == (449, 5)
+    np.testing.assert_allclose(af_m, af_s, atol=2e-6)
+
+    for suffix in (".ne_obs.npy", ".fisher_obs.npy"):
+        np.testing.assert_allclose(
+            np.load(str(out_multi) + suffix),
+            np.load(str(out_single) + suffix), rtol=1e-5, atol=1e-4,
+        )
+
+    import pandas as pd
+
+    loo_m = pd.read_csv(str(out_multi) + ".pop_like_LOO.tsv", sep="\t")
+    loo_s = pd.read_csv(str(out_single) + ".pop_like_LOO.tsv", sep="\t")
+    assert list(loo_m.columns) == list(loo_s.columns)
+    assert (loo_m["sample"] == loo_s["sample"]).all()
+    vals_m = loo_m.iloc[:, 2:].to_numpy(float)
+    vals_s = loo_s.iloc[:, 2:].to_numpy(float)
+    np.testing.assert_allclose(vals_m, vals_s, rtol=1e-6, atol=1e-3)
+    # argmax assignment identical
+    np.testing.assert_array_equal(vals_m.argmax(axis=1), vals_s.argmax(axis=1))

@@ -153,25 +153,36 @@ def main(argv=None):
     from wgsassign_tpu.parallel.mesh import make_runtime, maybe_initialize_distributed
     from wgsassign_tpu.obs.profiling import maybe_profile, RunTimer
 
-    # provenance log (reference WGSassign.py:127-141)
-    writers.write_args_file(args.out, args, parser.parse_args([]))
-
     from wgsassign_tpu.obs.log import setup_logging
 
     setup_logging(args.log_level)
     maybe_initialize_distributed()
     import jax
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: one process owns stdout (file writers are guarded
+        # inside io.writers); warnings/errors still reach stderr
+        sys.stdout = open(os.devnull, "w")
+
+    # provenance log (reference WGSassign.py:127-141)
+    writers.write_args_file(args.out, args, parser.parse_args([]))
+
     if args.debug_checks:
         jax.config.update("jax_debug_nans", True)
     devices = jax.devices()
     if args.devices is not None:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--devices cannot be combined with a multi-host run (the "
+                "mesh must span every process's devices)"
+            )
         devices = devices[: args.devices]
     use_pallas = True if args.use_pallas else (False if args.no_pallas else None)
     runtime = make_runtime(devices, use_pallas=use_pallas)
     print(
         f"Mesh: {runtime.n_devices} device(s) on "
-        f"{devices[0].platform}; SNP-axis data parallel."
+        f"{devices[0].platform} across {jax.process_count()} process(es); "
+        "SNP-axis data parallel."
     )
     timer = RunTimer()
 
@@ -185,19 +196,48 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
               filter_sites_to_common):
     from wgsassign_tpu.models.common import to_device
 
+    import jax
+
     beagle = None
     cohort = None
     downsampled = None
+    multi_process = jax.process_count() > 1
+
+    if multi_process and (args.get_reference_z_score or args.get_assignment_z_score):
+        raise ValueError(
+            "z-score analyses operate on the full per-individual GL/AD "
+            "columns on host and are not supported in a multi-host run; "
+            "run them single-host (use --ind_start/--ind_end to shard "
+            "individuals across jobs instead)"
+        )
+    if multi_process and args.loo_downsampled_beagle:
+        raise ValueError(
+            "--loo_downsampled_beagle needs the global site-name "
+            "intersection and is not supported in a multi-host run yet"
+        )
 
     if args.beagle is not None:
-        print("Parsing Beagle file.")
-        with timer.phase("parse"):
-            beagle = read_beagle(args.beagle)
-        print(
-            f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals."
-        )
-        _print_preview("sample_names", beagle.sample_names)
-        _print_preview("site_names", beagle.site_names)
+        if multi_process:
+            from wgsassign_tpu.io.beagle import read_beagle_sharded
+
+            print("Parsing Beagle file (per-host row shards).")
+            with timer.phase("parse"):
+                beagle = read_beagle_sharded(
+                    args.beagle, runtime, site_multiple=args.partition_sites
+                )
+            print(
+                f"Loaded {beagle.n_sites} sites and {beagle.n_inds} "
+                f"individuals ({beagle.hi - beagle.lo} sites on this host)."
+            )
+        else:
+            print("Parsing Beagle file.")
+            with timer.phase("parse"):
+                beagle = read_beagle(args.beagle)
+            print(
+                f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals."
+            )
+            _print_preview("sample_names", beagle.sample_names)
+            _print_preview("site_names", beagle.site_names)
 
     if args.loo_downsampled_beagle is not None:
         print("Parsing the optional downsampled Beagle file.")

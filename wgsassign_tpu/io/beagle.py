@@ -61,6 +61,74 @@ class BeagleData:
         return BeagleData(self.gl[keep_mask], list(self.sample_names), sites)
 
 
+@dataclass
+class BeagleShard:
+    """This process's contiguous row block of a Beagle file (multi-host).
+
+    Each host parses only its own window (``read_beagle_sharded``); the
+    global device arrays are assembled shard-by-shard in
+    :func:`wgsassign_tpu.models.common.to_device` via
+    ``make_global_sites_array`` — no host ever materializes the full
+    ``[M, N, 2]`` matrix.  Replaces the reference's full-parse-everywhere
+    ingest (reader_cy.pyx:16-77) at pod scale.
+
+    ``site_names`` are the *local* window's markers; operations needing the
+    global site list (downsampled-LOO intersection) are unsupported in
+    sharded mode and raise in the CLI.
+    """
+
+    local: BeagleData        # rows [lo, hi) of the file
+    m_global: int            # total data rows in the file
+    lo: int
+    hi: int
+    rows_per_process: int    # padded per-process block size
+
+    @property
+    def n_sites(self) -> int:
+        return self.m_global
+
+    @property
+    def n_inds(self) -> int:
+        return self.local.n_inds
+
+    @property
+    def sample_names(self) -> List[str]:
+        return self.local.sample_names
+
+    @property
+    def site_names(self) -> List[str]:
+        return self.local.site_names
+
+
+def read_beagle_sharded(path: str, runtime, site_multiple: int = 1,
+                        use_native: bool = True) -> BeagleShard:
+    """Multi-host ingest: dimension scan, then parse only this process's
+    contiguous row window.
+
+    ``runtime`` is the :class:`wgsassign_tpu.parallel.mesh.Runtime` whose
+    mesh the cohort will live on — the window size is padded so each
+    process's block divides evenly over its local devices (and the Pallas
+    site tile, when active).
+    """
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import process_row_range
+
+    m_global, _n = beagle_dims(path, use_native=use_native)
+    nproc = jax.process_count()
+    mult_total = runtime.site_multiple(site_multiple)
+    if mult_total % nproc != 0:
+        # site_multiple always contains a factor of n_devices (= nproc *
+        # local devices), so this only trips on asymmetric meshes
+        raise ValueError(
+            f"site multiple {mult_total} does not divide over {nproc} processes"
+        )
+    lo, hi, per = process_row_range(m_global, multiple=mult_total // nproc)
+    local = read_beagle(path, use_native=use_native, row_range=(lo, hi))
+    return BeagleShard(local=local, m_global=m_global, lo=lo, hi=hi,
+                       rows_per_process=per)
+
+
 def _open_maybe_gzip(path: str) -> _io.BufferedReader:
     f = open(path, "rb")
     magic = f.read(2)

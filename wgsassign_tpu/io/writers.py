@@ -13,31 +13,58 @@ Formats reproduced (reference file:line):
 
 from __future__ import annotations
 
+import functools
 import gzip
 import os
+import sys
 from datetime import datetime
 
 import numpy as np
 
 
+def _is_primary_process() -> bool:
+    """In a multi-host run only process 0 writes output files (hosts share a
+    filesystem; duplicate writers would race).  Checked without importing
+    jax — if jax was never loaded this is a single-process host tool."""
+    jax = sys.modules.get("jax")
+    return jax is None or jax.process_index() == 0
+
+
+def primary_only(fn):
+    """Writers become no-ops (returning None) on non-primary processes of a
+    multi-host run."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if not _is_primary_process():
+            return None
+        return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@primary_only
 def write_pop_af(out_prefix: str, af: np.ndarray) -> str:
     path = out_prefix + ".pop_af.npy"
     np.save(out_prefix + ".pop_af", af.astype(np.float32))
     return path
 
 
+@primary_only
 def write_pop_names(out_prefix: str, pops) -> str:
     path = out_prefix + ".pop_names.txt"
     np.savetxt(path, np.asarray(pops, dtype=str), fmt="%s")
     return path
 
 
+@primary_only
 def write_loglike_txt(out_prefix: str, logl_mat: np.ndarray) -> str:
     path = out_prefix + ".pop_like.txt"
     np.savetxt(path, logl_mat, fmt="%.7f")
     return path
 
 
+@primary_only
 def write_ne_outputs(out_prefix: str, f_obs, ne_obs, pops) -> list:
     paths = []
     np.save(out_prefix + ".fisher_obs", f_obs.astype(np.float32))
@@ -53,12 +80,14 @@ def write_ne_outputs(out_prefix: str, f_obs, ne_obs, pops) -> list:
     return paths
 
 
+@primary_only
 def write_ne_ind(out_prefix: str, ne_ind: np.ndarray) -> str:
     path = out_prefix + ".ne_ind.txt"
     np.savetxt(path, np.asarray(ne_ind).reshape(-1, 1), fmt="%.7f")
     return path
 
 
+@primary_only
 def write_z_scores(out_prefix: str, z: np.ndarray, reference_mode: bool) -> str:
     suffix = ".reference_z_ind.txt" if reference_mode else ".z_ind.txt"
     path = out_prefix + suffix
@@ -66,12 +95,14 @@ def write_z_scores(out_prefix: str, z: np.ndarray, reference_mode: bool) -> str:
     return path
 
 
+@primary_only
 def write_mixture(out_prefix: str, mix_out: np.ndarray, mcmc: bool = False) -> str:
     path = out_prefix + (".mcmc_mix.txt" if mcmc else ".em_mix.txt")
     np.savetxt(path, mix_out, fmt="%s")
     return path
 
 
+@primary_only
 def write_assignment_matrix(
     filename: str,
     loglike_mat: np.ndarray,
@@ -120,6 +151,7 @@ def write_assignment_matrix(
     return filename
 
 
+@primary_only
 def write_args_file(out_prefix: str, args_namespace, default_namespace) -> str:
     """``{out}.args`` provenance log: non-default options only, with timestamp
     and cwd (reference WGSassign.py:127-141)."""

@@ -18,7 +18,7 @@ from wgsassign_tpu.ops.loglik import (
     assign_loglik_partitioned,
     assign_loglik_partitioned_f64,
 )
-from wgsassign_tpu.parallel.mesh import Runtime
+from wgsassign_tpu.parallel.mesh import Runtime, fetch_to_host
 
 
 def assignment_loglikelihoods(
@@ -48,7 +48,7 @@ def assignment_loglikelihoods(
             ll = assign_loglik_f64(cohort.g0, cohort.g1, af_dev, cohort.site_weight)
         else:
             ll = assign_loglik(cohort.g0, cohort.g1, af_dev, cohort.site_weight)
-        return np.asarray(ll, dtype=np.float32)
+        return fetch_to_host(ll).astype(np.float32)
     if f64_sums:
         parts = assign_loglik_partitioned_f64(
             cohort.g0, cohort.g1, af_dev, cohort.site_weight, num_partitions
@@ -57,7 +57,7 @@ def assignment_loglikelihoods(
         parts = assign_loglik_partitioned(
             cohort.g0, cohort.g1, af_dev, cohort.site_weight, num_partitions
         )  # [P, N, K]
-    parts = np.asarray(parts)
+    parts = fetch_to_host(parts)
     ll = parts.sum(axis=0).astype(np.float32)  # [N, K]
     parts = parts.astype(np.float32)
     n, k = ll.shape

@@ -49,7 +49,7 @@ from wgsassign_tpu.ops.loglik import (
     assign_loglik_selected_partitioned,
     assign_loglik_selected_partitioned_f64,
 )
-from wgsassign_tpu.parallel.mesh import PAD_AF, Runtime
+from wgsassign_tpu.parallel.mesh import PAD_AF, Runtime, fetch_to_host
 
 
 @dataclass
@@ -141,11 +141,11 @@ def leave_one_out(
         n_loo = sizes[j] - 1
         min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
         bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
-        iters[members] = np.asarray(it_p)
-        converged[members] = np.asarray(conv_p)
+        iters[members] = fetch_to_host(it_p)
+        converged[members] = fetch_to_host(conv_p)
         if verbose:
             print(f"LOO EM for population {pop}: {len(members)} problems, "
-                  f"iterations {np.asarray(it_p).min()}..{np.asarray(it_p).max()}")
+                  f"iterations {iters[members].min()}..{iters[members].max()}")
     col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
 
     # --- likelihood evaluation (optionally on the downsampled GLs) ---------
@@ -168,7 +168,7 @@ def leave_one_out(
             ll = assign_loglik_selected(
                 src.g0, src.g1, bank_t, col_idx, src.site_weight
             )
-        ll = np.asarray(ll, dtype=np.float32)
+        ll = fetch_to_host(ll).astype(np.float32)
         parts = ll.reshape(n * 1, -1)
     else:
         if f64_sums:
@@ -179,8 +179,8 @@ def leave_one_out(
             ll_d, parts_d = assign_loglik_selected_partitioned(
                 src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
             )
-        ll = np.asarray(ll_d, dtype=np.float32)
-        parts = np.asarray(parts_d, dtype=np.float32).reshape(
+        ll = fetch_to_host(ll_d).astype(np.float32)
+        parts = fetch_to_host(parts_d).astype(np.float32).reshape(
             n * num_partitions, -1
         )
     return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)

@@ -15,7 +15,7 @@ from wgsassign_tpu.io.beagle import BeagleData
 from wgsassign_tpu.io.ids import PopulationMap
 from wgsassign_tpu.models.common import DeviceCohort, pad_af_to, to_device
 from wgsassign_tpu.ops.fisher import fisher_obs_pops
-from wgsassign_tpu.parallel.mesh import Runtime
+from wgsassign_tpu.parallel.mesh import Runtime, fetch_to_host
 
 
 @dataclass
@@ -75,9 +75,10 @@ def effective_sample_sizes(
             1.0,  # per-block sums; the mean is taken below over m_real
         )
         real_hi = min(hi, m)
+        fo_h, no_h = fetch_to_host(fo), fetch_to_host(no)
         if real_hi > lo:
-            f_obs[lo:real_hi] = np.asarray(fo)[: real_hi - lo]
-            ne_obs[lo:real_hi] = np.asarray(no)[: real_hi - lo]
-        ne_ind_sum += np.asarray(ni, dtype=np.float64)
+            f_obs[lo:real_hi] = fo_h[: real_hi - lo]
+            ne_obs[lo:real_hi] = no_h[: real_hi - lo]
+        ne_ind_sum += fetch_to_host(ni).astype(np.float64)
     ne_ind = (ne_ind_sum / m).astype(np.float32)
     return NeResult(f_obs=f_obs, ne_obs=ne_obs, ne_ind=ne_ind)

@@ -85,8 +85,10 @@ def estimate_reference_af(
         min_val = 1.0 / (2.0 * (sizes + 1.0))
         af = np.clip(f[: cohort.m_real], min_val, 1.0 - min_val).astype(np.float32)
     else:
+        from wgsassign_tpu.parallel.mesh import fetch_to_host
+
         f = clamp_af(f, popmap.pop_sizes)
-        af = np.asarray(f)[: cohort.m_real].astype(np.float32)
+        af = fetch_to_host(f)[: cohort.m_real].astype(np.float32)
     return ReferenceAFResult(
         af=af,
         pops=popmap.pops,

@@ -41,6 +41,11 @@ class EMCheckpoint:
     def save(self, f, iters, active, it: int) -> None:
         if self.path is None:
             return
+        from wgsassign_tpu.parallel.mesh import fetch_to_host, is_primary
+
+        f = fetch_to_host(f)  # may be SNP-sharded across processes
+        if not is_primary():
+            return  # one writer per shared filesystem
         tmp = self.path + ".tmp"
         np.savez(
             tmp if tmp.endswith(".npz") else tmp,
@@ -62,4 +67,7 @@ class EMCheckpoint:
 
     def clear(self) -> None:
         if self.path and os.path.exists(self.path):
-            os.remove(self.path)
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass  # another process on a shared filesystem won the race

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wgsassign_tpu.parallel.mesh import fetch_to_host
+
 _F32 = jnp.float32
 
 # Target site-block length for the f32 partial sums.  Block sums have
@@ -96,7 +98,7 @@ def assign_loglik_f64(g0, g1, af, site_weight) -> np.ndarray:
     f64 combine on host.  Returns np.float64."""
     block = _pick_block(g0.shape[0])
     parts = _assign_loglik_blocked(g0, g1, af, site_weight, block)
-    return np.asarray(parts, dtype=np.float64).sum(axis=0)
+    return fetch_to_host(parts).astype(np.float64).sum(axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_partitions",))
@@ -136,7 +138,7 @@ def assign_loglik_partitioned_f64(
     parts = _assign_loglik_partitioned_blocked(
         g0, g1, af, site_weight, num_partitions, block
     )
-    return np.asarray(parts, dtype=np.float64).sum(axis=0)
+    return fetch_to_host(parts).astype(np.float64).sum(axis=0)
 
 
 @jax.jit
@@ -202,7 +204,7 @@ def assign_loglik_selected_f64(
     parts = _assign_loglik_selected_blocked(
         g0, g1, af_bank_t, col_idx, site_weight, block
     )
-    return np.asarray(parts, dtype=np.float64).sum(axis=2)
+    return fetch_to_host(parts).astype(np.float64).sum(axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("num_partitions",))
@@ -264,5 +266,5 @@ def assign_loglik_selected_partitioned_f64(
     blocks = _assign_loglik_selected_partitioned_blocked(
         g0, g1, af_bank_t, col_idx, site_weight, num_partitions, block
     )
-    parts = np.asarray(blocks, dtype=np.float64).sum(axis=2)  # [N, K, P]
+    parts = fetch_to_host(blocks).astype(np.float64).sum(axis=2)  # [N, K, P]
     return parts.sum(axis=2), np.transpose(parts, (0, 2, 1))

@@ -303,7 +303,11 @@ def em_maf_pops_fused(
         from wgsassign_tpu.parallel.mesh import SNP_AXIS
 
         ft_sharding = NamedSharding(runtime.mesh, P(None, SNP_AXIS))
-        ft = jax.device_put(np.ascontiguousarray(ft_h), ft_sharding)
+
+        def put_ft(arr):
+            return jax.device_put(np.ascontiguousarray(arr), ft_sharding)
+
+        ft = put_ft(ft_h)
         onehot = runtime.replicate(np.asarray(membership.T))
         block_m = _block_sites(m, n, 256 * runtime.n_devices)
 
@@ -321,7 +325,10 @@ def em_maf_pops_fused(
             )
 
     else:
-        ft = jnp.asarray(np.ascontiguousarray(ft_h))
+        def put_ft(arr):
+            return jnp.asarray(np.ascontiguousarray(arr))
+
+        ft = put_ft(ft_h)
         onehot = jnp.asarray(membership.T)
         block_m = _block_sites(m, n, 256)
 
@@ -356,7 +363,7 @@ def em_maf_pops_fused(
         state = checkpoint.load()
         if state is not None:
             ft_h2, iters, active, it = state
-            ft = jnp.asarray(ft_h2, _F32)
+            ft = put_ft(np.asarray(ft_h2, np.float32))
             iters = np.asarray(iters, np.int32)
             active = np.asarray(active, bool)
     while it < max_iter and active.any():
@@ -389,5 +396,7 @@ def em_maf_pops_fused(
             checkpoint.maybe_save(ft, iters, active, it)
     if checkpoint is not None:
         checkpoint.clear()
-    f = np.ascontiguousarray(np.asarray(ft).T)
+    from wgsassign_tpu.parallel.mesh import fetch_to_host
+
+    f = np.ascontiguousarray(fetch_to_host(ft).T)
     return f, jnp.asarray(iters), jnp.asarray(~active)

@@ -75,15 +75,26 @@ class Runtime:
             base *= PALLAS_SITE_TILE
         return base
 
+    def _probe_device(self):
+        """A device of this mesh that is addressable from this process (the
+        probe does a device_put; on a multi-host mesh ``devices.flat[0]``
+        belongs to process 0 and would fail the probe everywhere else,
+        silently diverging the engine path across processes)."""
+        pid = jax.process_index()
+        for d in self.mesh.devices.flat:
+            if d.process_index == pid:
+                return d
+        return self.mesh.devices.flat[0]
+
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        return _probe_pallas(self.mesh.devices.flat[0])
+        return _probe_pallas(self._probe_device())
 
     def pallas_interpret(self) -> bool:
         """Whether Pallas kernels must run in interpret mode here (no Mosaic
         backend — e.g. forced on via ``use_pallas`` on a CPU test mesh)."""
-        return not _probe_pallas(self.mesh.devices.flat[0])
+        return not _probe_pallas(self._probe_device())
 
 
 # Capability probe result per device kind (a platform-name test would
@@ -180,6 +191,29 @@ def make_global_sites_array(runtime: Runtime, local_rows: np.ndarray, m_global: 
     sharding = runtime.sites_sharding(local_rows.ndim)
     global_shape = (m_global,) + tuple(local_rows.shape[1:])
     return make_array_from_process_local_data(sharding, local_rows, global_shape)
+
+
+def fetch_to_host(x) -> np.ndarray:
+    """Bring a device array to host memory, working for *any* sharding.
+
+    Single-process (and replicated multi-process) arrays are fully
+    addressable and copy directly; site-sharded arrays in a multi-process
+    run are first all-gathered to every host (process_allgather replicates
+    via a jit identity).  Every model's host-side result download goes
+    through this, so the same code path serves 1 chip and a pod slice.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    # tiled=True is the (required) global-array mode: the array is
+    # replicated via a jit identity and returned with its global shape
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def is_primary() -> bool:
+    """True on the process that owns user-facing output (files, stdout)."""
+    return jax.process_index() == 0
 
 
 def maybe_initialize_distributed() -> None:
