@@ -247,3 +247,142 @@ def test_pallas_capability_probe():
     rt_forced = make_runtime(jax.devices()[:1], use_pallas=True)
     assert rt_forced.pallas_enabled() is True
     assert rt_forced.pallas_interpret() is True
+
+
+# ---------------------------------------------------------------------------
+# Fused LOO EM (the headline LOO workload)
+# ---------------------------------------------------------------------------
+
+from wgsassign_tpu.ops.emmaf import em_maf_loo_group
+from wgsassign_tpu.ops.pallas_emmaf import em_maf_loo_group_fused
+
+
+def _loo_problem(m=96, n_p=7, seed=11):
+    rng = np.random.default_rng(seed)
+    raw = rng.dirichlet(np.ones(3), size=(m, n_p)).astype(np.float32)
+    g0p = np.ascontiguousarray(raw[:, :, 0].T)  # [n_p, M] site-minor
+    g1p = np.ascontiguousarray(raw[:, :, 1].T)
+    sw = np.ones(m, np.float32)
+    return g0p, g1p, sw
+
+
+@pytest.mark.parametrize("tol,max_iter,chunk", [
+    (1e-4, 200, 8),    # normal convergence, mid-chunk crossings + replay
+    (0.0, 12, 5),      # fixed iterations, uneven final chunk
+    (1e-2, 200, 64),   # fast convergence inside the first chunk
+])
+def test_fused_loo_matches_xla(tol, max_iter, chunk):
+    g0p, g1p, sw = _loo_problem()
+    m = g0p.shape[1]
+    f_ref, iters_ref, conv_ref = em_maf_loo_group(
+        g0p, g1p, sw, m, max_iter, tol
+    )
+    f, iters, conv = em_maf_loo_group_fused(
+        g0p, g1p, m, max_iter, tol, chunk=chunk, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
+    )
+
+
+def test_fused_loo_with_padding():
+    """Padded site columns carrying the (1, 0) GL pattern must be pinned to
+    their fixed point and contribute nothing to convergence decisions."""
+    g0p, g1p, sw = _loo_problem(m=64, n_p=5, seed=12)
+    pad = 32
+    g0pp = np.concatenate([g0p, np.ones((5, pad), np.float32)], axis=1)
+    g1pp = np.concatenate([g1p, np.zeros((5, pad), np.float32)], axis=1)
+    f_ref, iters_ref, _ = em_maf_loo_group(g0p, g1p, sw, 64, 200, 1e-4)
+    f, iters, _ = em_maf_loo_group_fused(
+        g0pp, g1pp, 64, 200, 1e-4, chunk=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_allclose(
+        np.asarray(f)[:, :64], np.asarray(f_ref), rtol=0, atol=2e-6
+    )
+
+
+def test_fused_loo_sharded_mesh_matches_xla():
+    """shard_map'd fused LOO chunks on an 8-device mesh: same trajectory and
+    convergence iterations as the single-device XLA while-loop."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS, make_runtime
+
+    g0p, g1p, sw = _loo_problem(m=128, n_p=6, seed=13)
+    f_ref, iters_ref, _ = em_maf_loo_group(g0p, g1p, sw, 128, 100, 1e-4)
+    rt = make_runtime(jax.devices())
+    assert rt.n_devices == 8
+    shard = NamedSharding(rt.mesh, P(None, SNP_AXIS))
+    f, iters, _ = em_maf_loo_group_fused(
+        jax.device_put(g0p, shard), jax.device_put(g1p, shard),
+        128, 100, 1e-4, chunk=16, interpret=True, runtime=rt,
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-6)
+
+
+def test_loo_pallas_path_matches_golden(breeding, breeding_ids):
+    """Model-level: leave_one_out on the forced-Pallas route (interpret mode
+    on CPU) hits the same goldens as the XLA route."""
+    import jax
+
+    from conftest import GOLDEN_DIR
+    from wgsassign_tpu.models.loo import leave_one_out
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    golden = np.load(GOLDEN_DIR / "loo.npz")
+    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
+    rt = make_runtime(jax.devices()[:1], use_pallas=True)
+    res = leave_one_out(
+        breeding, af, breeding_ids,
+        num_partitions=int(golden["num_partitions"]), runtime=rt,
+    )
+    np.testing.assert_allclose(res.ll, golden["ll"], rtol=1e-6, atol=3e-4)
+    np.testing.assert_array_equal(
+        res.ll.argmax(axis=1), golden["ll"].argmax(axis=1)
+    )
+    np.testing.assert_allclose(res.parts, golden["parts"], rtol=1e-5, atol=3e-4)
+    assert res.converged.all()
+
+
+def test_loo_checkpoint_resume(breeding, breeding_ids, tmp_path, monkeypatch):
+    """Crash the LOO driver after two populations; the resumed run must skip
+    their EMs via the per-population done files and land on identical
+    results, then clean up every checkpoint file."""
+    import glob
+
+    import wgsassign_tpu.models.loo as loo_mod
+
+    af = np.load(
+        __import__("pathlib").Path(__file__).parent / "golden" / "ref_af.npz"
+    )["af"]
+    full = loo_mod.leave_one_out(breeding, af, breeding_ids)
+    ckpt = str(tmp_path / "loo.ckpt")
+    orig = loo_mod._loo_group_em
+    calls = []
+
+    def crashing(*a, **kw):
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash")
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(loo_mod, "_loo_group_em", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        loo_mod.leave_one_out(
+            breeding, af, breeding_ids, checkpoint_path=ckpt
+        )
+    assert len(glob.glob(ckpt + ".pop*.done.npz")) == 2
+    monkeypatch.setattr(loo_mod, "_loo_group_em", orig)
+    res = loo_mod.leave_one_out(
+        breeding, af, breeding_ids, checkpoint_path=ckpt
+    )
+    np.testing.assert_array_equal(res.iters, full.iters)
+    np.testing.assert_array_equal(res.converged, full.converged)
+    np.testing.assert_allclose(res.ll, full.ll, rtol=0, atol=0)
+    np.testing.assert_allclose(res.parts, full.parts, rtol=0, atol=0)
+    assert not glob.glob(ckpt + "*")

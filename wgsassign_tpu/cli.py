@@ -324,6 +324,8 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     compat_af_mutation=not args.loo_clean_af,
                     verbose=True,
                     f64_sums=not args.f32_sums,
+                    checkpoint_path=(args.out + ".loo.ckpt"
+                                     if args.em_checkpoint else None),
                 )
             suffix = "_downsampled" if downsampled is not None else ""
             outfile = f"{args.out}.pop_like_LOO{suffix}.tsv"

@@ -32,6 +32,7 @@ foreign-population likelihoods always use the full-data AF.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -94,6 +95,7 @@ def leave_one_out(
     compat_af_mutation: bool = True,
     verbose: bool = False,
     f64_sums: bool = True,
+    checkpoint_path: Optional[str] = None,
 ) -> LooResult:
     if cohort is None:
         cohort = to_device(beagle, runtime, site_multiple=num_partitions)
@@ -129,15 +131,24 @@ def leave_one_out(
     for j, pop in enumerate(popmap.pops):
         members = popmap.members_of(pop)
         members_d = rt.replicate(members)
-        g0p, g1p = _member_panels(cohort.g0, cohort.g1, members_d)
-        f_p, it_p, conv_p = em_maf_loo_group(
-            g0p,
-            g1p,
-            cohort.site_weight,
-            m_real,
-            max_iter,
-            tol,
-        )
+        done_path = (f"{checkpoint_path}.pop{j}.done.npz"
+                     if checkpoint_path else None)
+        if done_path and os.path.exists(done_path):
+            # per-population restart point: this population's LOO EM already
+            # finished in an interrupted earlier run
+            with np.load(done_path) as z:
+                f_h = np.full((len(members), m_pad), PAD_AF, np.float32)
+                f_h[:, :m_real] = z["f"]
+                it_p, conv_p = z["iters"], z["converged"]
+            f_p = _shard_rows(rt, f_h)
+        else:
+            f_p, it_p, conv_p = _loo_group_em(
+                rt, cohort, members_d, len(members), m_real, max_iter, tol,
+                chunk_ckpt_path=(f"{checkpoint_path}.pop{j}.npz"
+                                 if checkpoint_path else None),
+            )
+            if done_path:
+                _save_pop_done(done_path, f_p, it_p, conv_p, m_real)
         n_loo = sizes[j] - 1
         min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
         bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
@@ -146,6 +157,16 @@ def leave_one_out(
         if verbose:
             print(f"LOO EM for population {pop}: {len(members)} problems, "
                   f"iterations {iters[members].min()}..{iters[members].max()}")
+    if checkpoint_path:
+        # LOO finished: drop the per-population restart files
+        for j in range(k):
+            for p in (f"{checkpoint_path}.pop{j}.done.npz",
+                      f"{checkpoint_path}.pop{j}.npz"):
+                if os.path.exists(p):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass  # another process on a shared filesystem won
     col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
 
     # --- likelihood evaluation (optionally on the downsampled GLs) ---------
@@ -184,6 +205,47 @@ def leave_one_out(
             n * num_partitions, -1
         )
     return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)
+
+
+def _loo_group_em(rt, cohort, members_d, n_p, m_real, max_iter, tol,
+                  chunk_ckpt_path=None):
+    """One population's batched LOO EM: the fused multi-iteration Pallas
+    kernel when available (one HBM read of the member panels per chunk of
+    iterations — the XLA while-loop re-reads them every iteration), the XLA
+    path otherwise.  Both return ``(f [n_p, M] device, iters, converged)``
+    with identical trajectories and convergence iteration counts."""
+    g0p, g1p = _member_panels(cohort.g0, cohort.g1, members_d)
+    from wgsassign_tpu.ops.pallas_emmaf import MAX_FUSED_LOO_MEMBERS
+
+    if rt.pallas_enabled() and n_p <= MAX_FUSED_LOO_MEMBERS:
+        from wgsassign_tpu.obs.checkpoint import EMCheckpoint
+        from wgsassign_tpu.ops.pallas_emmaf import em_maf_loo_group_fused
+
+        ckpt = EMCheckpoint(chunk_ckpt_path) if chunk_ckpt_path else None
+        return em_maf_loo_group_fused(
+            g0p, g1p, m_real, max_iter, tol,
+            interpret=rt.pallas_interpret(), checkpoint=ckpt, runtime=rt,
+        )
+    return em_maf_loo_group(
+        g0p, g1p, cohort.site_weight, m_real, max_iter, tol
+    )
+
+
+def _save_pop_done(path, f_p, it_p, conv_p, m_real):
+    """Atomically record one population's finished LOO EM (real sites only)
+    so an interrupted run resumes at population granularity."""
+    from wgsassign_tpu.obs.checkpoint import save_npz_atomic
+    from wgsassign_tpu.parallel.mesh import is_primary
+
+    f_h = fetch_to_host(f_p)[:, :m_real]
+    if not is_primary():
+        return  # one writer per shared filesystem
+    save_npz_atomic(
+        path,
+        f=np.asarray(f_h, np.float32),
+        iters=np.asarray(it_p, np.int32),
+        converged=np.asarray(conv_p, bool),
+    )
 
 
 @jax.jit

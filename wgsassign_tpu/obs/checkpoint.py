@@ -22,6 +22,15 @@ from typing import Optional
 import numpy as np
 
 
+def save_npz_atomic(path: str, **arrays) -> None:
+    """Write an npz atomically (temp file + rename)."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    # np.savez appends .npz when missing
+    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(src, path)
+
+
 class EMCheckpoint:
     """Atomic npz checkpoint for a chunked EM run."""
 
@@ -46,17 +55,13 @@ class EMCheckpoint:
         f = fetch_to_host(f)  # may be SNP-sharded across processes
         if not is_primary():
             return  # one writer per shared filesystem
-        tmp = self.path + ".tmp"
-        np.savez(
-            tmp if tmp.endswith(".npz") else tmp,
+        save_npz_atomic(
+            self.path,
             f=np.asarray(f),
             iters=np.asarray(iters),
             active=np.asarray(active),
             it=np.asarray(it),
         )
-        # np.savez appends .npz when missing
-        src = tmp if tmp.endswith(".npz") else tmp + ".npz"
-        os.replace(src, self.path)
 
     def load(self):
         """Returns ``(f, iters, active, it)`` or None when absent."""

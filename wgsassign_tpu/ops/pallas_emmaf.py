@@ -356,8 +356,31 @@ def em_maf_pops_fused(
             sq = sqb if sq is None else sq + sqb
         return jnp.concatenate(fts, axis=1), sq
 
-    iters = np.full(k, max_iter, dtype=np.int32)
-    active = np.ones(k, dtype=bool)
+    ft, iters, active = _drive_chunks(
+        run_chunk, put_ft, ft, k, max_iter, tol, m_real, chunk, checkpoint
+    )
+    from wgsassign_tpu.parallel.mesh import fetch_to_host
+
+    f = np.ascontiguousarray(fetch_to_host(ft).T)
+    return f, jnp.asarray(iters), jnp.asarray(~active)
+
+
+def _drive_chunks(run_chunk, put_ft, ft, n_problems, max_iter, tol, m_real,
+                  chunk, checkpoint):
+    """Shared chunk/replay orchestration for the fused EMs.
+
+    ``run_chunk(ft, limits [1, P] f32, T)`` runs T fused iterations with
+    per-problem update limits and returns ``(ft_new, sq [T, P])``.  The host
+    reconstructs each problem's exact RMSE sequence from ``sq``; when a
+    problem converges mid-chunk, the chunk is replayed from its snapshot
+    with exact limits so the returned state matches a serial run that
+    stopped each problem at its own convergence iteration (reference
+    emMAF.py:15-27 semantics, batched).
+
+    Returns ``(ft, iters [P] int32, active [P] bool)``.
+    """
+    iters = np.full(n_problems, max_iter, dtype=np.int32)
+    active = np.ones(n_problems, dtype=bool)
     it = 0
     if checkpoint is not None:
         state = checkpoint.load()
@@ -370,13 +393,13 @@ def em_maf_pops_fused(
         T = min(chunk, max_iter - it)
         limits_vec = np.where(active, T, 0).astype(np.float32)
         ft_snapshot = ft
-        ft, sq = run_chunk(ft, jnp.asarray(limits_vec.reshape(1, k)), T)
-        rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))  # [T, K]
-        # first iteration (within chunk) at which each active pop converged
-        crossed = rmse < tol  # [T, K]
+        ft, sq = run_chunk(ft, jnp.asarray(limits_vec.reshape(1, -1)), T)
+        rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))
+        # first iteration (within chunk) at which each active problem converged
+        crossed = rmse < tol  # [T, P]
         exact_limits = limits_vec.copy()
         replay = False
-        for kk in range(k):
+        for kk in range(n_problems):
             if not active[kk]:
                 continue
             hits = np.flatnonzero(crossed[:T, kk])
@@ -389,14 +412,235 @@ def em_maf_pops_fused(
                     replay = True
         if replay:
             ft, _ = run_chunk(
-                ft_snapshot, jnp.asarray(exact_limits.reshape(1, k)), T
+                ft_snapshot, jnp.asarray(exact_limits.reshape(1, -1)), T
             )
         it += T
         if checkpoint is not None:
             checkpoint.maybe_save(ft, iters, active, it)
     if checkpoint is not None:
         checkpoint.clear()
-    from wgsassign_tpu.parallel.mesh import fetch_to_host
+    return ft, iters, active
 
-    f = np.ascontiguousarray(fetch_to_host(ft).T)
-    return f, jnp.asarray(iters), jnp.asarray(~active)
+
+# ---------------------------------------------------------------------------
+# Fused leave-one-out EM — the headline LOO workload (reference
+# glassy.py:47-112: N serial full EM re-runs; README.md:129-131 quotes
+# ~30 min for 5M sites x 180 individuals).  One population's n_p
+# leave-one-out problems run as a single [n_p, M] batched EM; this kernel
+# additionally fuses T iterations per HBM read of the member GL panels,
+# the same chunk/replay convergence machinery as the reference-AF kernel.
+#
+# Per site tile the kernel materializes the [n_p, n_p, tile] pairwise
+# weight tensor w[i, j, s] (member i's EM weight under problem j's AF) in
+# VMEM and reduces it over i with the off-diagonal mask — identical op
+# order to ops.emmaf.em_maf_loo_group, so trajectories and convergence
+# iteration counts match the XLA path.  The site-minor [n_p, M] layout
+# keeps the big M axis on lanes (no HBM lane-padding blowup; the member
+# axis pads to 8 sublanes only).
+# ---------------------------------------------------------------------------
+
+
+def _loo_tile_m(m: int, n_p: int) -> int:
+    """Site-tile size for the LOO chunk kernel.  The [n_p, n_p, tile] f32
+    pairwise tensor (and ~4 fused temporaries) must fit the VMEM budget;
+    the tile is the lane dimension, so Mosaic needs tile % 128 == 0 (or one
+    whole-array tile, the small-problem fallback)."""
+    np8 = -(-n_p // 8) * 8  # sublane padding
+    tile = _VMEM_BUDGET_BYTES // (4 * n_p * np8 * 4)
+    tile = 1 << (int(max(tile, 1)).bit_length() - 1)
+    tile = max(128, min(tile, 2048))
+    while m % tile != 0 and tile > 128:
+        tile //= 2
+    return tile if m % tile == 0 else m
+
+
+def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
+                      *, T: int, NP: int):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    g0 = g0_ref[:]              # [NP, tile]
+    g1 = g1_ref[:]
+    g2 = 1.0 - g0 - g1          # iteration-invariant
+    limits_col = limits_ref[:].T  # [NP, 1] per-problem update limits
+    f = ft_ref[:]               # [NP, tile] — row j = problem j's AF
+
+    # off-diagonal membership mask (member i participates in problem j != i)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+    mask = (row != col).astype(_F32)[:, :, None]  # [NP, NP, 1]
+    inv = 1.0 / (NP - 1.0)
+
+    acc_rows = []
+    for t in range(T):
+        # w[i, j, s]: member i's weight under problem j's AF — same op order
+        # as em_maf_loo_group's update (bit-matching trajectories)
+        fj = f[None, :, :]
+        omf = 1.0 - fj
+        p0 = g0[:, None, :] * omf * omf
+        p1 = g1[:, None, :] * 2.0 * fj * omf
+        p2 = g2[:, None, :] * fj * fj
+        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP, NP, tile]
+        f_upd = jnp.sum(w * mask, axis=0) * inv         # [NP, tile]
+        f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
+        f_new = jnp.where(limits_col > float(t), f_upd, f)
+        d = f_new - f
+        acc_rows.append(jnp.sum(d * d, axis=1, keepdims=True).T)  # [1, NP]
+        f = f_new
+
+    ftout_ref[:] = f
+    sq_ref[:] += jnp.concatenate(acc_rows, axis=0)  # [T, NP]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def loo_chunk_pallas(g0p, g1p, ft, limits, T: int, interpret: bool = False):
+    """One chunk of T fused LOO EM iterations for one population.
+
+    Args:
+      g0p, g1p: float32 ``[n_p, M]`` member GL panels, site-minor (padded
+        site columns must hold the (1, 0) GL pattern).
+      ft: float32 ``[n_p, M]`` current per-problem AF (padded sites at
+        ``EM_EPS`` — their fixed point, so they add 0 to the partials).
+      limits: float32 ``[1, n_p]`` per-problem update limits (<= T).
+      T: chunk length (static).
+
+    Returns ``(ft_new [n_p, M], sq [T, n_p])``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_p, m = g0p.shape
+    tile = _loo_tile_m(m, n_p)
+    grid = (m // tile,)
+    kernel = functools.partial(_loo_chunk_kernel, T=T, NP=n_p)
+    ft_new, sq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, m), _F32),
+            jax.ShapeDtypeStruct((T, n_p), _F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g0p, g1p, ft, limits)
+    return ft_new, sq
+
+
+# One traced shard_map program per (mesh, n_p, T, interpret) — the LOO
+# analogue of _SHARDED_CHUNK_CACHE.
+_SHARDED_LOO_CACHE = {}
+
+
+def _sharded_loo_chunk_fn(mesh, T: int, interpret: bool):
+    key = (mesh, T, interpret)
+    fn = _SHARDED_LOO_CACHE.get(key)
+    if fn is not None:
+        return fn
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    def body(g0s, g1s, fts, limits_s):
+        ft_new, sq = loo_chunk_pallas(
+            g0s, g1s, fts, limits_s, T, interpret=interpret
+        )
+        return ft_new, jax.lax.psum(sq, SNP_AXIS)
+
+    fn = jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, SNP_AXIS), P(None, SNP_AXIS), P(None, SNP_AXIS),
+            P(None, None),
+        ),
+        out_specs=(P(None, SNP_AXIS), P(None, None)),
+        check_vma=False,
+    ))
+    _SHARDED_LOO_CACHE[key] = fn
+    return fn
+
+
+# VMEM sanity bound: above this member count the [n_p, n_p, 128] pairwise
+# tile alone crowds out the budget — fall back to the XLA while-loop path.
+MAX_FUSED_LOO_MEMBERS = 256
+
+
+def em_maf_loo_group_fused(
+    g0p,
+    g1p,
+    m_real: int,
+    max_iter: int,
+    tol: float,
+    chunk: int = 8,
+    interpret: bool = False,
+    checkpoint=None,
+    runtime=None,
+):
+    """Driver: chunked fused LOO EM for one population.
+
+    Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_loo_group`
+    (returns ``(f [n_p, M] device array, iters [n_p], converged [n_p])``)
+    with the multi-iteration-per-HBM-read Pallas kernel and exact
+    convergence semantics via chunk replay.  Sites >= ``m_real`` must carry
+    the (1, 0) padding GL pattern.
+    """
+    n_p, m = g0p.shape
+
+    # padded sites start at their fixed point (f = EPS under the (1, 0) GL
+    # pattern) so they contribute exactly zero to the convergence partials
+    f_row = np.full(m, _EM_EPS, dtype=np.float32)
+    f_row[:m_real] = 0.25
+    ft_h = np.broadcast_to(f_row, (n_p, m))
+
+    if runtime is not None and runtime.n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+        ft_sharding = NamedSharding(runtime.mesh, P(None, SNP_AXIS))
+
+        def put_ft(arr):
+            return jax.device_put(np.ascontiguousarray(arr), ft_sharding)
+
+        chunk_fn = _sharded_loo_chunk_fn(runtime.mesh, chunk, interpret)
+
+        def run_chunk(ft_in, limits_arr, T):
+            if T != chunk:  # tail chunk: separate (cached) program
+                fn = _sharded_loo_chunk_fn(runtime.mesh, T, interpret)
+            else:
+                fn = chunk_fn
+            return fn(g0p, g1p, ft_in, limits_arr)
+
+    else:
+        def put_ft(arr):
+            return jnp.asarray(np.ascontiguousarray(arr))
+
+        def run_chunk(ft_in, limits_arr, T):
+            return loo_chunk_pallas(
+                g0p, g1p, ft_in, limits_arr, T, interpret=interpret
+            )
+
+    ft = put_ft(ft_h)
+    ft, iters, active = _drive_chunks(
+        run_chunk, put_ft, ft, n_p, max_iter, tol, m_real, chunk, checkpoint
+    )
+    return ft, jnp.asarray(iters), jnp.asarray(~active)
