@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--m", type=int, default=5_000_000)
     ap.add_argument("--n", type=int, default=180)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="force the pure-XLA LOO path (fused-kernel ablation)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +64,9 @@ def main():
     )
     popmap = population_map(np.asarray(beagle.sample_names), labels)
 
-    rt = make_runtime(jax.devices()[:1])
+    rt = make_runtime(
+        jax.devices()[:1], use_pallas=False if args.no_pallas else None
+    )
     cohort = to_device(beagle, rt)
 
     def run():
@@ -83,6 +87,8 @@ def main():
     ref_scaled = REF_SECONDS * (m * args.n**2) / (REF_M * REF_N**2)
     print(json.dumps({
         "workload": "loo_end_to_end",
+        "engine": "xla" if args.no_pallas else
+                  ("pallas" if rt.pallas_enabled() else "xla(auto)"),
         "m": m, "n": args.n, "k": args.k,
         "seconds": round(seconds, 2),
         "cold_seconds_incl_compile": round(cold_seconds, 2),

@@ -90,3 +90,34 @@ def test_too_stringent_raises(breeding, breeding_ad):
             breeding.gl[:, 0, :], breeding_ad[:, 0:2], n_threshold=10**9,
             single_read_threshold=False,
         )
+
+
+def test_blocked_equals_single_block(nonbreeding, nonbreeding_ad):
+    """Forcing tiny device blocks (multiple blocks + a repeat-padded final
+    block) must reproduce the single-block batched results exactly."""
+    golden = np.load(GOLDEN_DIR / "zscore_assignment.npz")
+    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
+    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
+    ids = np.loadtxt(
+        GOLDEN_DIR / "nonbreeding_assigned_ids.txt", delimiter="\t", dtype=str
+    )
+    kwargs = dict(n_threshold=int(golden["threshold"]))
+    full = assignment_z_scores(
+        nonbreeding, nonbreeding_ad, ids[:, 1], af, pops, **kwargs
+    )
+    blocked = assignment_z_scores(
+        nonbreeding, nonbreeding_ad, ids[:, 1], af, pops,
+        block_bytes=1, **kwargs
+    )
+    np.testing.assert_array_equal(blocked.loci, full.loci)
+    np.testing.assert_allclose(blocked.z, full.z, rtol=1e-6, atol=1e-6)
+
+
+def test_blocked_reference_mode(breeding, breeding_ids, breeding_ad):
+    golden = np.load(GOLDEN_DIR / "zscore_reference.npz")
+    blocked = reference_z_scores(
+        breeding, breeding_ad, breeding_ids,
+        n_threshold=int(golden["threshold"]), block_bytes=200_000,
+    )
+    np.testing.assert_array_equal(blocked.loci, golden["loci"])
+    np.testing.assert_allclose(blocked.z, golden["z"], rtol=2e-3, atol=2e-3)

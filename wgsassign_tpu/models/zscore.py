@@ -24,24 +24,31 @@ of distinct compilations stays small across individuals.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from wgsassign_tpu.io.beagle import BeagleData
 from wgsassign_tpu.io.ids import PopulationMap
 from wgsassign_tpu.models.common import DeviceCohort, to_device
-from wgsassign_tpu.ops.emmaf import clamp_af, em_maf_pops
-from wgsassign_tpu.ops.zscore_ops import zscore_sums
+from wgsassign_tpu.ops.emmaf import em_maf_sites_batch
+from wgsassign_tpu.ops.zscore_ops import zscore_sums_batch
 from wgsassign_tpu.parallel.mesh import PAD_AF, PAD_G0, PAD_G1, Runtime
 
 F32 = np.float32
 
 SEQ_ERROR_RATE = 0.01       # hard-coded in the reference (WGSassign.py:350,430)
 GL_MEAN_TOLERANCE = 0.01    # hard-coded in the reference (zscore.py:55)
+
+# Device-memory budget for one batched z-score block (gathered member
+# panels + split tables).  Bounds B, the number of individuals whose
+# z pipelines run as a single device computation.
+Z_BLOCK_BYTES = 2 << 30
 
 
 @dataclass
@@ -178,53 +185,155 @@ class ZScoreResult:
     w_var: np.ndarray       # float32 [n_sub]
 
 
-def _individual_z(
-    cohort: DeviceCohort,
-    beagle: BeagleData,
-    ad: np.ndarray,
-    i: int,
-    af_kept_fn,
-    n_threshold: int,
-    single_read_threshold: bool,
-):
-    """Shared per-individual driver.  ``af_kept_fn(tables, s_pad)`` returns a
-    device ``[S_pad]`` AF vector for the kept sites."""
-    rt = cohort.runtime
-    gl_i = beagle.gl[:, i, :]
-    ad_i = ad[:, 2 * i : 2 * i + 2]
-    tables = build_combo_tables(gl_i, ad_i, n_threshold, single_read_threshold)
+@dataclass
+class _ZBlock:
+    """Host-assembled batched operands for one block of B individuals.
 
-    s = tables.keep_sites.size
-    s_pad = _bucket(s, rt.site_multiple())
-    rows, mask = _split_tables(tables)
-    c = rows.shape[1]
-    c_pad = _bucket(c, 4)
+    All per-individual combo tables are padded to shapes shared across the
+    whole ``[ind_start, ind_end)`` range, so every block of the run reuses
+    one compiled program (the final partial block is padded with repeats of
+    its last individual; repeated results are discarded)."""
 
-    def pad(a, value, shape):
-        out = np.full(shape, value, dtype=a.dtype)
-        out[tuple(slice(0, d) for d in a.shape)] = a
-        return out
+    inds: List[int]          # real individual index per slot (repeats pad)
+    n_real: int              # number of non-repeated leading slots
+    keep: np.ndarray         # int32 [B, S] kept-site indices (pad -> 0)
+    g0k: np.ndarray          # float32 [B, S]
+    g1k: np.ndarray          # float32 [B, S]
+    weight: np.ndarray       # float32 [B, S]
+    s_real: np.ndarray       # float32 [B] kept-site counts
+    rows: np.ndarray         # int32 [B, S, C]
+    mask: np.ndarray         # float32 [B, S, C]
+    like_tab: np.ndarray     # float32 [B, R, 3]
+    fact_tab: np.ndarray     # float32 [B, R, 3]
 
-    g0k = pad(gl_i[tables.keep_sites, 0].astype(F32), PAD_G0, (s_pad,))
-    g1k = pad(gl_i[tables.keep_sites, 1].astype(F32), PAD_G1, (s_pad,))
-    weight = pad(np.ones(s, dtype=F32), 0.0, (s_pad,))
-    rows_p = pad(rows.astype(np.int32), 0, (s_pad, c_pad))
-    mask_p = pad(mask, 0.0, (s_pad, c_pad))
 
-    a_dev = af_kept_fn(tables, s_pad)
-    w_obs, w_mu, w_var = zscore_sums(
-        rt.shard_sites(g0k),
-        rt.shard_sites(g1k),
-        a_dev,
-        rt.shard_sites(weight),
-        rt.shard_sites(rows_p),
-        rt.shard_sites(mask_p),
-        rt.replicate(tables.mean_gl),
-        rt.replicate(tables.read_probs),
+def _pad_to(a: np.ndarray, value, shape) -> np.ndarray:
+    out = np.full(shape, value, dtype=a.dtype)
+    out[tuple(slice(0, d) for d in a.shape)] = a
+    return out
+
+
+def _prepare_tables(beagle, ad, inds, n_threshold, single_read_threshold):
+    """Combo tables + split enumerations for every individual in the range
+    (vectorized host passes), and the shared padded shapes."""
+    tables, splits = {}, {}
+    for i in inds:
+        t = build_combo_tables(
+            beagle.gl[:, i, :], ad[:, 2 * i : 2 * i + 2],
+            n_threshold, single_read_threshold,
+        )
+        tables[i] = t
+        splits[i] = _split_tables(t)
+    s_max = max(t.keep_sites.size for t in tables.values())
+    c_max = max(r.shape[1] for r, _ in splits.values())
+    r_max = max(len(t.combos) for t in tables.values())
+    return tables, splits, s_max, c_max, r_max
+
+
+def _assemble_block(beagle, tables, splits, inds, b_pad, s_pad, c_pad, r_pad):
+    n_real = len(inds)
+    slots = list(inds) + [inds[-1]] * (b_pad - n_real)
+    keep = np.zeros((b_pad, s_pad), dtype=np.int32)
+    g0k = np.full((b_pad, s_pad), PAD_G0, dtype=F32)
+    g1k = np.full((b_pad, s_pad), PAD_G1, dtype=F32)
+    weight = np.zeros((b_pad, s_pad), dtype=F32)
+    s_real = np.zeros((b_pad,), dtype=F32)
+    rows = np.zeros((b_pad, s_pad, c_pad), dtype=np.int32)
+    mask = np.zeros((b_pad, s_pad, c_pad), dtype=F32)
+    # padded combo rows carry a harmless valid triple; they are never
+    # gathered (split_rows only references real rows) but stay finite.
+    like_tab = np.zeros((b_pad, r_pad, 3), dtype=F32)
+    like_tab[:, :, 0] = 1.0
+    fact_tab = np.zeros((b_pad, r_pad, 3), dtype=F32)
+    for slot, i in enumerate(slots):
+        t = tables[i]
+        s = t.keep_sites.size
+        keep[slot, :s] = t.keep_sites
+        g0k[slot, :s] = beagle.gl[t.keep_sites, i, 0]
+        g1k[slot, :s] = beagle.gl[t.keep_sites, i, 1]
+        weight[slot, :s] = 1.0
+        s_real[slot] = s
+        r_i, m_i = splits[i]
+        rows[slot, :s, : r_i.shape[1]] = r_i
+        mask[slot, :s, : m_i.shape[1]] = m_i
+        like_tab[slot, : len(t.combos)] = t.mean_gl
+        fact_tab[slot, : len(t.combos)] = t.read_probs
+    return _ZBlock(
+        inds=slots, n_real=n_real, keep=keep, g0k=g0k, g1k=g1k,
+        weight=weight, s_real=s_real, rows=rows, mask=mask,
+        like_tab=like_tab, fact_tab=fact_tab,
     )
-    w_obs, w_mu, w_var = float(w_obs), float(w_mu), float(w_var)
-    z = (w_obs - w_mu) / math.sqrt(w_var)
-    return z, s, w_obs, w_mu, w_var
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _loo_af_block(g0, g1, keep, mem, mem_mask, site_w, s_real, max_iter, tol):
+    """Per-problem leave-one-out AF at each individual's kept sites: one
+    gather + one batched EM for the whole block (the reference re-runs a
+    full serial EM per individual, WGSassign.py:352-364)."""
+    g0p = g0[keep[:, None, :], mem[:, :, None]]  # [B, P, S]
+    g1p = g1[keep[:, None, :], mem[:, :, None]]
+    f, _, _ = em_maf_sites_batch(
+        g0p, g1p, mem_mask, site_w, s_real, max_iter, tol
+    )
+    counts = jnp.sum(mem_mask, axis=1)
+    # reference clamp with n = LOO member count (WGSassign.py:358-364)
+    min_val = 1.0 / (2.0 * (counts + 1.0))
+    return jnp.clip(f, min_val[:, None], 1.0 - min_val[:, None])
+
+
+def _run_blocks(
+    cohort, beagle, ad, ind_start, ind_end, af_block_fn, per_ind_bytes_extra,
+    n_threshold, single_read_threshold, verbose, block_bytes=None,
+):
+    """Shared batched driver.  ``af_block_fn(block, block_dev)`` returns a
+    device ``[B, S]`` AF panel for the block's kept sites."""
+    rt = cohort.runtime
+    inds = list(range(ind_start, ind_end))
+    out = _empty_result(len(inds))
+    if not inds:
+        return out
+    tables, splits, s_max, c_max, r_max = _prepare_tables(
+        beagle, ad, inds, n_threshold, single_read_threshold
+    )
+    s_pad = _bucket(s_max, rt.site_multiple())
+    c_pad = _bucket(c_max, 4)
+    r_pad = _bucket(r_max, 4)
+    # per-individual device footprint: split tables + GL/AF vectors + the
+    # mode-specific extra (gathered member panels in reference mode)
+    per_ind = s_pad * (c_pad * 8 + 24) + per_ind_bytes_extra(s_pad)
+    budget = Z_BLOCK_BYTES if block_bytes is None else block_bytes
+    b = int(max(1, min(len(inds), budget // max(per_ind, 1))))
+
+    for lo in range(0, len(inds), b):
+        chunk = inds[lo : lo + b]
+        block = _assemble_block(
+            beagle, tables, splits, chunk, b, s_pad, c_pad, r_pad
+        )
+        a_dev = af_block_fn(block)
+        w_obs, w_mu, w_var = zscore_sums_batch(
+            rt.shard_axis(block.g0k, 1),
+            rt.shard_axis(block.g1k, 1),
+            a_dev,
+            rt.shard_axis(block.weight, 1),
+            rt.shard_axis(block.rows, 1),
+            rt.shard_axis(block.mask, 1),
+            rt.replicate(block.like_tab),
+            rt.replicate(block.fact_tab),
+        )
+        w_obs = np.asarray(w_obs, dtype=np.float64)
+        w_mu = np.asarray(w_mu, dtype=np.float64)
+        w_var = np.asarray(w_var, dtype=np.float64)
+        for slot in range(block.n_real):
+            pos = lo + slot
+            _fill(
+                out, pos,
+                (w_obs[slot] - w_mu[slot]) / math.sqrt(w_var[slot]),
+                int(block.s_real[slot]),
+                w_obs[slot], w_mu[slot], w_var[slot],
+            )
+            if verbose:
+                _print_ind(block.inds[slot], out, pos)
+    return out
 
 
 def reference_z_scores(
@@ -240,17 +349,22 @@ def reference_z_scores(
     runtime: Optional[Runtime] = None,
     cohort: Optional[DeviceCohort] = None,
     verbose: bool = False,
+    block_bytes: Optional[int] = None,
 ) -> ZScoreResult:
     """Reference mode: AF from a leave-one-out EM re-run of the individual's
-    own population restricted to its kept sites (WGSassign.py:352-364)."""
+    own population restricted to its kept sites (WGSassign.py:352-364).
+
+    TPU-first: the reference's serial per-individual EM re-runs execute as
+    one batched gather + EM per block of individuals
+    (:func:`wgsassign_tpu.ops.emmaf.em_maf_sites_batch`)."""
     if cohort is None:
         cohort = to_device(beagle, runtime)
     rt = cohort.runtime
     n = cohort.n_inds
     ind_end = n if ind_end is None else ind_end
-    out = _empty_result(ind_end - ind_start)
 
-    for pos, i in enumerate(range(ind_start, ind_end)):
+    members_of = {}
+    for i in range(ind_start, ind_end):
         members = popmap.members_of(popmap.pop_labels[i])
         members = members[members != i]
         if members.size == 0:
@@ -258,34 +372,36 @@ def reference_z_scores(
                 f"Individual {i} is the only member of its population; "
                 "reference z-score needs a leave-one-out AF"
             )
-        members_dev = rt.replicate(members.astype(np.int32))
+        members_of[i] = members.astype(np.int32)
+    p_pad = _bucket(max(m.size for m in members_of.values()), 8) \
+        if members_of else 8
 
-        def af_kept(tables, s_pad, members_dev=members_dev, n_pop=members.size):
-            keep = np.full(s_pad, 0, dtype=np.int64)
-            keep[: tables.keep_sites.size] = tables.keep_sites
-            keep_dev = rt.shard_sites(keep)
-            g0s = jnp.take(
-                jnp.take(cohort.g0, members_dev, axis=1), keep_dev, axis=0
-            )
-            g1s = jnp.take(
-                jnp.take(cohort.g1, members_dev, axis=1), keep_dev, axis=0
-            )
-            w = np.zeros(s_pad, dtype=F32)
-            w[: tables.keep_sites.size] = 1.0
-            ones = rt.replicate(np.ones((n_pop, 1), dtype=F32))
-            zeros = rt.replicate(np.zeros(n_pop, dtype=np.int32))
-            f, _, _ = em_maf_pops(
-                g0s, g1s, ones, zeros, rt.shard_sites(w),
-                tables.keep_sites.size, max_iter, tol,
-            )
-            return clamp_af(f, n_pop)[:, 0]
+    def af_block(block: _ZBlock):
+        b = len(block.inds)
+        mem = np.zeros((b, p_pad), dtype=np.int32)
+        mem_mask = np.zeros((b, p_pad), dtype=F32)
+        for slot, i in enumerate(block.inds):
+            m = members_of[i]
+            mem[slot, : m.size] = m
+            mem[slot, m.size :] = m[0]  # valid (masked) index
+            mem_mask[slot, : m.size] = 1.0
+        return _loo_af_block(
+            cohort.g0, cohort.g1,
+            rt.shard_axis(block.keep, 1),
+            rt.replicate(mem), rt.replicate(mem_mask),
+            rt.shard_axis(block.weight, 1),
+            rt.replicate(np.maximum(block.s_real, 1.0)),
+            max_iter, tol,
+        )
 
-        _fill(out, pos, *_individual_z(
-            cohort, beagle, ad, i, af_kept, n_threshold, single_read_threshold
-        ))
-        if verbose:
-            _print_ind(i, out, pos)
-    return out
+    def extra_bytes(s_pad: int) -> int:
+        # two gathered [P, S] member panels per problem
+        return 2 * p_pad * s_pad * 4
+
+    return _run_blocks(
+        cohort, beagle, ad, ind_start, ind_end, af_block, extra_bytes,
+        n_threshold, single_read_threshold, verbose, block_bytes,
+    )
 
 
 def assignment_z_scores(
@@ -301,6 +417,7 @@ def assignment_z_scores(
     runtime: Optional[Runtime] = None,
     cohort: Optional[DeviceCohort] = None,
     verbose: bool = False,
+    block_bytes: Optional[int] = None,
 ) -> ZScoreResult:
     """Assignment mode: AF is the saved panel's column for the individual's
     *assigned* population, sliced at the kept sites (WGSassign.py:425-443)."""
@@ -312,28 +429,29 @@ def assignment_z_scores(
     af = np.asarray(af, F32)
     pops = np.asarray(pops, dtype=str)
     assigned_labels = np.asarray(assigned_labels, dtype=str)
-    out = _empty_result(ind_end - ind_start)
 
-    for pos, i in enumerate(range(ind_start, ind_end)):
+    col_of = {}
+    for i in range(ind_start, ind_end):
         hits = np.flatnonzero(pops == assigned_labels[i])
         if hits.size == 0:
             raise ValueError(
                 f"Assigned population {assigned_labels[i]!r} of individual {i} "
                 "not found in the population-names file"
             )
-        k = int(hits[0])
+        col_of[i] = int(hits[0])
 
-        def af_kept(tables, s_pad, k=k):
-            a = np.full(s_pad, PAD_AF, dtype=F32)
-            a[: tables.keep_sites.size] = af[tables.keep_sites, k]
-            return rt.shard_sites(a)
+    def af_block(block: _ZBlock):
+        b, s_pad = block.keep.shape
+        a = np.full((b, s_pad), PAD_AF, dtype=F32)
+        for slot, i in enumerate(block.inds):
+            s = int(block.s_real[slot])
+            a[slot, :s] = af[block.keep[slot, :s], col_of[i]]
+        return rt.shard_axis(a, 1)
 
-        _fill(out, pos, *_individual_z(
-            cohort, beagle, ad, i, af_kept, n_threshold, single_read_threshold
-        ))
-        if verbose:
-            _print_ind(i, out, pos)
-    return out
+    return _run_blocks(
+        cohort, beagle, ad, ind_start, ind_end, af_block, lambda s: 0,
+        n_threshold, single_read_threshold, verbose, block_bytes,
+    )
 
 
 def _empty_result(n_sub: int) -> ZScoreResult:

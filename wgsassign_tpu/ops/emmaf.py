@@ -208,6 +208,77 @@ def em_maf_loo_group(
     return f, iters, jnp.logical_not(active)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def em_maf_sites_batch(
+    g0p: jax.Array,
+    g1p: jax.Array,
+    member_mask: jax.Array,
+    site_weight: jax.Array,
+    m_real: jax.Array,
+    max_iter: int,
+    tol,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``B`` independent one-population MAF EMs over per-problem site subsets.
+
+    The z-score reference mode re-runs a leave-one-out EM per individual on
+    that individual's kept loci (reference WGSassign.py:352-364, a serial
+    host loop).  Here a block of B individuals runs as one batched device
+    computation: problem ``b`` iterates over its own gathered ``[P, S]``
+    member panel with its own site mask and RMSE denominator, converging
+    independently (same per-problem semantics as :func:`em_maf_pops`).
+
+    Args:
+      g0p, g1p: float32 ``[B, P, S]`` member GLs at each problem's kept
+        sites (padded site slots must carry a valid GL pattern).
+      member_mask: float32 ``[B, P]`` — 1 where the member participates
+        (excludes the focal individual; rows of an all-dummy problem may be
+        zero — guarded against 0-division).
+      site_weight: float32 ``[B, S]`` — 1 for real kept sites.
+      m_real: float32 ``[B]`` per-problem real-site counts (>= 1).
+
+    Returns ``(f [B, S], iters [B] int32, converged [B] bool)``.
+    """
+    b, p, s = g0p.shape
+    counts = jnp.sum(member_mask, axis=1)  # [B]
+    inv_counts = 1.0 / jnp.maximum(counts, 1.0)
+    tol = jnp.asarray(tol, _F32)
+    m_real = jnp.asarray(m_real, _F32)
+
+    f0 = jnp.full((b, s), 0.25, dtype=_F32)
+
+    def update(f):
+        w = em_weights(g0p, g1p, f[:, None, :])  # [B, P, S], fuses into sum
+        f_new = (
+            jnp.sum(w * member_mask[:, :, None], axis=1) * inv_counts[:, None]
+        )
+        return jnp.clip(f_new, _EM_EPS, 1.0 - _EM_EPS)
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(active))
+
+    def body(state):
+        f, active, iters, it = state
+        f_upd = update(f)
+        f_new = jnp.where(active[:, None], f_upd, f)
+        d = f_new - f
+        sq = jnp.sum(d * d * site_weight, axis=1)
+        diff = jnp.sqrt(sq / m_real)
+        newly = jnp.logical_and(active, diff < tol)
+        iters = jnp.where(newly, it + 1, iters)
+        active = jnp.logical_and(active, diff >= tol)
+        return f_new, active, iters, it + 1
+
+    state = (
+        f0,
+        jnp.ones((b,), dtype=bool),
+        jnp.full((b,), max_iter, dtype=jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    f, active, iters, _ = jax.lax.while_loop(cond, body, state)
+    return f, iters, jnp.logical_not(active)
+
+
 def clamp_af(f: jax.Array, n_pop) -> jax.Array:
     """Clamp allele frequencies to ``[1/(2(n+1)), 1 - 1/(2(n+1))]``.
 

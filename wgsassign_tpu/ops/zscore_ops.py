@@ -73,3 +73,18 @@ def zscore_sums(g0k, g1k, a, weight, split_rows, split_mask, like_tab, fact_tab)
     w_mu = jnp.sum(w_mu_site * weight)
     w_var = jnp.sum(w_var_site * weight)
     return w_obs, w_mu, w_var
+
+
+@jax.jit
+def zscore_sums_batch(g0k, g1k, a, weight, split_rows, split_mask,
+                      like_tab, fact_tab):
+    """A block of B individuals' z sums in one device pass (the reference
+    runs a serial per-individual host loop, WGSassign.py:346-381).
+
+    Same contract as :func:`zscore_sums` with a leading ``B`` axis on every
+    operand (per-individual combo tables padded to shared ``[R, 3]``
+    shapes); returns three ``[B]`` vectors.
+    """
+    return jax.vmap(zscore_sums)(
+        g0k, g1k, a, weight, split_rows, split_mask, like_tab, fact_tab
+    )

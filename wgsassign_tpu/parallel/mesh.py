@@ -64,6 +64,14 @@ class Runtime:
     def replicate(self, x) -> jax.Array:
         return jax.device_put(np.asarray(x), self.replicated_sharding())
 
+    def shard_axis(self, x, axis: int) -> jax.Array:
+        """Shard an arbitrary axis (e.g. the site axis of a batched
+        ``[B, S, ...]`` block) over the SNP mesh; replicate the rest."""
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        spec[axis] = SNP_AXIS
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
     # -- padding -----------------------------------------------------------
     def site_multiple(self, extra: int = 1) -> int:
         """Sites must be padded to a multiple of (n_devices * extra),
