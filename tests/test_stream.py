@@ -1,0 +1,88 @@
+"""Streamed (beyond-host-RAM) ingest: block iterator + device assembly
+must bit-match the in-memory path, through to CLI-level outputs."""
+
+import numpy as np
+import pytest
+
+from conftest import BREEDING_BEAGLE, BREEDING_IDS, GOLDEN_DIR
+
+from wgsassign_tpu.io.beagle import read_beagle
+from wgsassign_tpu.io.stream import open_block_iterator
+from wgsassign_tpu.models.common import stream_to_device, to_device
+from wgsassign_tpu.parallel.mesh import make_runtime
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("block_rows", [64, 10_000])
+def test_block_iterator_matches_full_parse(use_native, block_rows):
+    full = read_beagle(str(BREEDING_BEAGLE))
+    meta, blocks = open_block_iterator(
+        str(BREEDING_BEAGLE), block_rows, use_native=use_native
+    )
+    assert (meta.n_sites, meta.n_inds) == (full.n_sites, full.n_inds)
+    assert meta.sample_names == full.sample_names
+    lo, sites = 0, []
+    for gl, names in blocks:
+        assert gl.shape[0] <= block_rows
+        np.testing.assert_array_equal(gl, full.gl[lo : lo + gl.shape[0]])
+        sites.extend(names)
+        lo += gl.shape[0]
+    assert lo == full.n_sites
+    assert sites == full.site_names
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_streamed_cohort_bitmatches_in_memory(use_native):
+    rt = make_runtime()
+    full = to_device(read_beagle(str(BREEDING_BEAGLE)), rt)
+    cohort, meta, names = stream_to_device(
+        str(BREEDING_BEAGLE), rt, block_rows=64, use_native=use_native,
+        collect_site_names=True,
+    )
+    assert cohort.m_real == full.m_real
+    np.testing.assert_array_equal(np.asarray(cohort.g0), np.asarray(full.g0))
+    np.testing.assert_array_equal(np.asarray(cohort.g1), np.asarray(full.g1))
+    np.testing.assert_array_equal(
+        np.asarray(cohort.site_weight), np.asarray(full.site_weight)
+    )
+    assert names == read_beagle(str(BREEDING_BEAGLE)).site_names
+
+
+def test_streamed_cli_reference_af_and_loo(tmp_path):
+    """Full --get_reference_af --loo via --stream_ingest matches goldens."""
+    from wgsassign_tpu.cli import main
+
+    out = tmp_path / "run"
+    main([
+        "-o", str(out),
+        "--beagle", str(BREEDING_BEAGLE),
+        "--pop_af_IDs", str(BREEDING_IDS),
+        "--get_reference_af", "--loo",
+        "--stream_ingest", "64",
+    ])
+    golden = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)
+    np.testing.assert_allclose(
+        np.load(str(out) + ".pop_af.npy"), golden["af"], atol=2e-5
+    )
+    import pandas as pd
+
+    loo_golden = np.load(GOLDEN_DIR / "loo.npz")
+    df = pd.read_csv(str(out) + ".pop_like_LOO.tsv", sep="\t")
+    np.testing.assert_allclose(
+        df.iloc[:, 2:].to_numpy(), loo_golden["ll"], rtol=2e-4, atol=2e-3
+    )
+
+
+def test_streamed_cli_rejects_host_gl_analyses(tmp_path):
+    from wgsassign_tpu.cli import main
+
+    with pytest.raises(ValueError, match="host-resident"):
+        main([
+            "-o", str(tmp_path / "run"),
+            "--beagle", str(BREEDING_BEAGLE),
+            "--pop_af_IDs", str(BREEDING_IDS),
+            "--pop_names", str(BREEDING_IDS),
+            "--ind_ad_file", str(GOLDEN_DIR / "breeding_ad.txt.gz"),
+            "--get_reference_z_score",
+            "--stream_ingest", "64",
+        ])

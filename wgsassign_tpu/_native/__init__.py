@@ -72,6 +72,14 @@ def _get_lib():
         ]
         lib.beagle_free.restype = None
         lib.beagle_free.argtypes = [ctypes.POINTER(_BeagleResult)]
+        lib.beagle_stream_open.restype = ctypes.c_void_p
+        lib.beagle_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.beagle_stream_header.restype = ctypes.POINTER(_BeagleResult)
+        lib.beagle_stream_header.argtypes = [ctypes.c_void_p]
+        lib.beagle_stream_next.restype = ctypes.POINTER(_BeagleResult)
+        lib.beagle_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.beagle_stream_close.restype = None
+        lib.beagle_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -136,3 +144,78 @@ def beagle_dims_native(path: str):
     if rc != 0:
         raise ValueError(f"Malformed Beagle file {path} (dims scan rc={rc})")
     return int(m.value), int(n.value)
+
+
+class NativeBeagleStream:
+    """Stateful sequential block reader over the native stream API.
+
+    One decompression pass over the file; each :meth:`next_block` call
+    returns the next ``<= max_rows`` data rows as ``(gl [b, N, 2],
+    site_names)`` or ``None`` at EOF.  Peak native memory is O(block).
+    Use :func:`open_beagle_stream` (returns None when the library is
+    unavailable, so callers can fall back to the pure-Python reader).
+    """
+
+    def __init__(self, lib, handle, n_inds, sample_names):
+        self._lib = lib
+        self._handle = handle
+        self.n_inds = n_inds
+        self.sample_names = sample_names
+
+    def next_block(self, max_rows: int):
+        res = self._lib.beagle_stream_next(self._handle, int(max_rows))
+        try:
+            if res.contents.error:
+                raise ValueError(
+                    f"Malformed Beagle file: {res.contents.error.decode()}"
+                )
+            m, n = res.contents.m, res.contents.n
+            if m == 0:
+                return None
+            gl = np.ctypeslib.as_array(res.contents.gl, shape=(m, n, 2)).copy()
+            sites = res.contents.site_names.decode().splitlines()
+        finally:
+            self._lib.beagle_free(res)
+        if len(sites) != m:
+            raise ValueError("Malformed Beagle file: site/shape mismatch")
+        return gl, sites
+
+    def close(self):
+        if self._handle:
+            self._lib.beagle_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_beagle_stream(path: str, n_threads: Optional[int] = None):
+    """Open a native sequential block stream; None when unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = max(os.cpu_count() or 1, 1)
+    handle = lib.beagle_stream_open(path.encode(), int(n_threads))
+    hdr = lib.beagle_stream_header(handle)
+    try:
+        if hdr.contents.error:
+            msg = hdr.contents.error.decode()
+            lib.beagle_stream_close(handle)
+            if "cannot open" in msg:
+                raise FileNotFoundError(msg)
+            raise ValueError(f"Malformed Beagle file {path}: {msg}")
+        n = int(hdr.contents.n)
+        samples = hdr.contents.sample_names.decode().splitlines()
+    finally:
+        lib.beagle_free(hdr)
+    return NativeBeagleStream(lib, handle, n, samples)

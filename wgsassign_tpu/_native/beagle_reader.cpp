@@ -19,6 +19,15 @@
 //       fast dimensions scan: header parse + newline count, no float work
 //   beagle_free(result)
 //
+// Stateful sequential streaming (beyond-host-RAM ingest: one decompression
+// pass over the file, O(block) peak memory per call):
+//   beagle_stream_open(path, n_threads) -> handle (never NULL)
+//   beagle_stream_header(handle) -> BeagleResult* carrying n + sample_names
+//       (or error); m == 0, gl == NULL
+//   beagle_stream_next(handle, max_rows) -> BeagleResult* with the next
+//       <= max_rows data rows; m == 0 and no error means EOF
+//   beagle_stream_close(handle)
+//
 // Build: g++ -O3 -shared -fPIC beagle_reader.cpp -lz -lpthread
 
 #include <zlib.h>
@@ -351,6 +360,233 @@ BeagleResult* beagle_read_range(const char* path, int n_threads, int64_t lo,
 
 BeagleResult* beagle_read(const char* path, int n_threads) {
   return beagle_read_range(path, n_threads, 0, -1);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stateful sequential streaming.
+
+namespace {
+
+// Parse the header line already read into `header`; fills n_inds + samples.
+// Returns an error message, or "" on success.
+std::string parse_header(const std::string& header, int64_t* n_inds,
+                         std::string* samples) {
+  const char* p = header.data();
+  const char* end = p + header.size();
+  int64_t idx = 0;
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+    const char* tok = p;
+    p = skip_token(p, end);
+    if (p == tok) break;
+    if (idx >= 3 && (idx - 3) % 3 == 0) {
+      samples->append(tok, p - tok);
+      samples->push_back('\n');
+    }
+    ++idx;
+  }
+  if (idx < 6 || (idx - 3) % 3 != 0)
+    return "Malformed Beagle header: expected 3 + 3*N columns";
+  *n_inds = (idx - 3) / 3;
+  return "";
+}
+
+// Join workers, validate chunk errors, concatenate parsed chunks into `r`.
+// Consumes (deletes) the chunks either way.
+BeagleResult* assemble_chunks(BeagleResult* r, std::vector<Chunk*>& chunks,
+                              int64_t n_inds) {
+  int64_t m = 0;
+  size_t sites_len = 0;
+  for (Chunk* c : chunks) {
+    if (!c->error.empty()) {
+      std::string msg = c->error;
+      for (Chunk* d : chunks) delete d;
+      chunks.clear();
+      return fail(r, "parse error: " + msg);
+    }
+    m += c->rows;
+    sites_len += c->sites.size();
+  }
+  r->m = m;
+  r->n = n_inds;
+  r->gl = static_cast<float*>(malloc(sizeof(float) * (m ? m : 1) * 2 * n_inds));
+  r->site_names = static_cast<char*>(malloc(sites_len + 1));
+  if (!r->gl || !r->site_names) {
+    for (Chunk* d : chunks) delete d;
+    chunks.clear();
+    return fail(r, "out of memory");
+  }
+  float* gp = r->gl;
+  char* sp = r->site_names;
+  for (Chunk* c : chunks) {
+    memcpy(gp, c->gl.data(), c->gl.size() * sizeof(float));
+    gp += c->gl.size();
+    memcpy(sp, c->sites.data(), c->sites.size());
+    sp += c->sites.size();
+    delete c;
+  }
+  chunks.clear();
+  *sp = '\0';
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct BeagleStreamHandle {
+  gzFile f = nullptr;
+  int n_threads = 1;
+  int64_t n_inds = 0;
+  std::string samples;   // '\n'-joined sample names
+  std::string carry;     // trailing partial line from the last gzread
+  std::string pending;   // complete rows decompressed but not yet returned
+  int64_t pending_rows = 0;
+  bool eof = false;
+  std::string error;     // sticky stream error
+};
+
+BeagleStreamHandle* beagle_stream_open(const char* path, int n_threads) {
+  auto* s = new BeagleStreamHandle();
+  s->n_threads = n_threads < 1 ? 1 : n_threads;
+  s->f = gzopen(path, "rb");
+  if (!s->f) {
+    s->error = std::string("cannot open ") + path;
+    return s;
+  }
+  gzbuffer(s->f, 1u << 20);
+  std::string header;
+  char buf[1 << 16];
+  for (;;) {
+    if (gzgets(s->f, buf, sizeof(buf)) == nullptr) {
+      s->error = "empty file or read error in header";
+      return s;
+    }
+    header += buf;
+    if (!header.empty() && header.back() == '\n') break;
+  }
+  s->error = parse_header(header, &s->n_inds, &s->samples);
+  return s;
+}
+
+BeagleResult* beagle_stream_header(BeagleStreamHandle* s) {
+  BeagleResult* r = new BeagleResult();
+  if (!s->error.empty()) return fail(r, s->error);
+  r->n = s->n_inds;
+  r->sample_names = strdup(s->samples.c_str());
+  return r;
+}
+
+BeagleResult* beagle_stream_next(BeagleStreamHandle* s, int64_t max_rows) {
+  BeagleResult* r = new BeagleResult();
+  if (!s->error.empty()) return fail(r, s->error);
+  if (max_rows < 1) max_rows = 1;
+
+  std::vector<Chunk*> chunks;
+  std::vector<std::thread> workers;
+  int64_t remaining = max_rows;
+
+  auto dispatch_text = [&](std::string text, int64_t lines) {
+    Chunk* c = new Chunk();
+    c->data = std::move(text);
+    c->skip = 0;
+    c->take = lines;
+    chunks.push_back(c);
+    workers.emplace_back(parse_chunk, c, s->n_inds);
+    if (static_cast<int>(workers.size()) >= s->n_threads) {
+      workers.front().join();
+      workers.erase(workers.begin());
+    }
+    remaining -= lines;
+  };
+
+  // Consume a newline-terminated text block: parse up to `remaining` data
+  // rows; complete rows beyond the budget are stashed in s->pending for the
+  // next call.
+  auto consume = [&](std::string text) {
+    int64_t lines =
+        count_data_lines(text.data(), text.data() + text.size());
+    if (lines == 0) return;
+    if (lines <= remaining) {
+      dispatch_text(std::move(text), lines);
+      return;
+    }
+    // split after exactly `remaining` data rows
+    const char* base = text.data();
+    const char* p = base;
+    const char* end = base + text.size();
+    int64_t need = remaining;
+    while (p < end && need > 0) {
+      const char* le = static_cast<const char*>(memchr(p, '\n', end - p));
+      if (!le) le = end;
+      for (const char* q = p; q < le; ++q) {
+        if (*q != ' ' && *q != '\t' && *q != '\r') {
+          --need;
+          break;
+        }
+      }
+      p = (le < end) ? le + 1 : end;
+    }
+    size_t head_len = static_cast<size_t>(p - base);
+    s->pending = text.substr(head_len);
+    s->pending_rows = lines - remaining;
+    text.resize(head_len);
+    dispatch_text(std::move(text), remaining);
+  };
+
+  // 1) leftover rows from the previous call
+  if (!s->pending.empty()) {
+    std::string text = std::move(s->pending);
+    s->pending.clear();
+    s->pending_rows = 0;
+    consume(std::move(text));
+  }
+
+  // 2) stream further chunks until the budget is met (or EOF)
+  std::vector<char> buf(kChunkSize);
+  while (remaining > 0 && !s->eof && s->pending.empty()) {
+    int got = gzread(s->f, buf.data(), buf.size());
+    if (got < 0) {
+      for (auto& t : workers) t.join();
+      for (Chunk* d : chunks) delete d;
+      s->error = "gzip stream error";
+      return fail(r, s->error);
+    }
+    if (got == 0) {
+      s->eof = true;
+      if (!s->carry.empty()) {
+        s->carry.push_back('\n');
+        std::string text = std::move(s->carry);
+        s->carry.clear();
+        consume(std::move(text));
+      }
+      break;
+    }
+    std::string text = std::move(s->carry);
+    text.append(buf.data(), got);
+    size_t last_nl = text.find_last_of('\n');
+    if (last_nl == std::string::npos) {
+      s->carry = std::move(text);
+      continue;
+    }
+    s->carry = text.substr(last_nl + 1);
+    text.resize(last_nl + 1);
+    consume(std::move(text));
+  }
+  for (auto& t : workers) t.join();
+
+  BeagleResult* out = assemble_chunks(r, chunks, s->n_inds);
+  if (out->error) s->error = out->error;  // sticky
+  return out;
+}
+
+void beagle_stream_close(BeagleStreamHandle* s) {
+  if (!s) return;
+  if (s->f) gzclose(s->f);
+  delete s;
 }
 
 // Fast dimensions scan: header column count + data-row count, no float

@@ -119,6 +119,12 @@ parser.add_argument("--mcmc_last_draw", action="store_true",
 parser.add_argument("--f32_sums", action="store_true",
     help="Accumulate site-axis log-likelihood sums in float32 (single fused "
          "reduction) instead of the reference-matching blocked-f64 scheme")
+parser.add_argument("--stream_ingest", metavar="ROWS", type=int, default=None,
+    help="Stream the Beagle file to device in site blocks of ROWS rows "
+         "(0 = auto-size ~256 MiB blocks) instead of materializing the full "
+         "GL matrix on host — M is then bounded by device HBM, not host RAM. "
+         "Incompatible with analyses needing host-resident GLs "
+         "(z-scores, --loo_downsampled_beagle)")
 parser.add_argument("--em_checkpoint", action="store_true",
     help="Periodically checkpoint EM state next to the output prefix and "
          "resume from it (fused-kernel path)")
@@ -216,7 +222,40 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             "intersection and is not supported in a multi-host run yet"
         )
 
-    if args.beagle is not None:
+    if args.stream_ingest is not None:
+        if multi_process:
+            raise ValueError(
+                "--stream_ingest is single-process; multi-host runs already "
+                "bound host memory via per-process row shards"
+            )
+        if args.get_reference_z_score or args.get_assignment_z_score:
+            raise ValueError(
+                "z-score analyses need host-resident per-individual GL "
+                "columns; drop --stream_ingest (or shard individuals across "
+                "jobs with --ind_start/--ind_end)"
+            )
+        if args.loo_downsampled_beagle:
+            raise ValueError(
+                "--loo_downsampled_beagle needs the global site-name "
+                "intersection; drop --stream_ingest"
+            )
+
+    if args.beagle is not None and args.stream_ingest is not None:
+        from wgsassign_tpu.models.common import stream_to_device
+
+        print("Streaming Beagle file to device in site blocks.")
+        with timer.phase("parse"):
+            cohort, beagle, _ = stream_to_device(
+                args.beagle, runtime,
+                site_multiple=args.partition_sites,
+                block_rows=args.stream_ingest or None,
+            )
+        print(
+            f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals "
+            "(streamed; GL matrix resident on device only)."
+        )
+        _print_preview("sample_names", beagle.sample_names)
+    elif args.beagle is not None:
         if multi_process:
             from wgsassign_tpu.io.beagle import read_beagle_sharded
 
@@ -256,7 +295,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         if beagle.site_names != downsampled.site_names:
             raise ValueError("Site names in full and downsampled Beagle do not match after filtering.")
 
-    if beagle is not None:
+    if beagle is not None and cohort is None:
         with timer.phase("h2d"):
             cohort = to_device(beagle, runtime, site_multiple=args.partition_sites)
 

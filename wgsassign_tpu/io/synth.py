@@ -98,3 +98,78 @@ def write_beagle(path: str, gl: np.ndarray, compresslevel: int = 1) -> str:
                 + "\n"
             )
     return path
+
+
+def synth_beagle_file(
+    path: str,
+    m_sites: int,
+    n_inds: int,
+    n_pops: int = 5,
+    seed: int = 0,
+    compresslevel: int = 1,
+    chunk: int = 100_000,
+) -> str:
+    """Write a synthetic gzipped Beagle file of arbitrary size chunk by
+    chunk — peak host memory O(chunk * N), so scale-benchmark inputs far
+    larger than RAM-resident matrices can be produced.
+
+    Formatting is fully vectorized: GLs are fixed-point "%.6f" values in
+    [0, 1], rendered digit-by-digit into a fixed-width uint8 byte matrix
+    (the pure-Python row loop in :func:`write_beagle` is fine for test
+    fixtures but ~100x too slow at benchmark scale)."""
+    import gzip as _gzip
+
+    with _gzip.open(path, "wb", compresslevel=compresslevel) as f:
+        f.write(
+            (
+                "marker\tallele1\tallele2"
+                + "".join(f"\tInd{i}\tInd{i}\tInd{i}" for i in range(n_inds))
+                + "\n"
+            ).encode()
+        )
+        for lo in range(0, m_sites, chunk):
+            hi = min(lo + chunk, m_sites)
+            gl, _, _ = synth_cohort(
+                hi - lo, n_inds, n_pops=n_pops, seed=seed + 1 + lo
+            )
+            body = np.empty((hi - lo, 3 * n_inds), dtype=np.float32)
+            body[:, 0::3] = gl[:, :, 0]
+            body[:, 1::3] = gl[:, :, 1]
+            body[:, 2::3] = 1.0 - gl[:, :, 0] - gl[:, :, 1]
+            f.write(_fixed6_rows(body, lo).tobytes())
+    return path
+
+
+def _fixed6_rows(body: np.ndarray, row0: int) -> np.ndarray:
+    """Render ``[r, c]`` floats in [0, 1] as Beagle data rows:
+    ``s<10-digit site id>\t1\t2\t`` + c tab-separated "%.6f" values +
+    newline, as a uint8 matrix (one fixed-width row per site)."""
+    r, c = body.shape
+    v = np.round(np.clip(body, 0.0, 1.0).astype(np.float32) * 1e6)
+    v = v.astype(np.int32)  # 0..1_000_000
+    prefix_len = 1 + 10 + 5  # "s" + id + "\t1\t2\t"
+    width = prefix_len + 9 * c  # 8 chars + separator per value
+    out = np.empty((r, width), dtype=np.uint8)
+    # site-id prefix
+    ids = np.arange(row0, row0 + r, dtype=np.int64)
+    out[:, 0] = ord("s")
+    for d in range(10):
+        out[:, 1 + d] = 48 + (ids // 10 ** (9 - d)) % 10
+    out[:, 11:16] = np.frombuffer(b"\t1\t2\t", dtype=np.uint8)
+    # values: integer part, '.', six fraction digits (two 3-digit lookup
+    # gathers — per-digit divmod over the full matrix is ~10x slower),
+    # separator
+    val = out[:, prefix_len:].reshape(r, c, 9)
+    val[..., 0] = 48 + (v // 1_000_000).astype(np.uint8)
+    val[..., 1] = ord(".")
+    frac = v % 1_000_000
+    table3 = np.empty((1000, 3), dtype=np.uint8)
+    k = np.arange(1000)
+    table3[:, 0] = 48 + k // 100
+    table3[:, 1] = 48 + (k // 10) % 10
+    table3[:, 2] = 48 + k % 10
+    val[..., 2:5] = table3[frac // 1000]
+    val[..., 5:8] = table3[frac % 1000]
+    val[..., 8] = ord("\t")
+    out[:, -1] = ord("\n")
+    return out

@@ -114,6 +114,112 @@ def _shard_to_device(shard: BeagleShard, runtime: Runtime,
     )
 
 
+def stream_to_device(
+    path: str,
+    runtime: Optional[Runtime] = None,
+    site_multiple: int = 1,
+    block_rows: Optional[int] = None,
+    use_native: bool = True,
+    collect_site_names: bool = False,
+):
+    """Build a :class:`DeviceCohort` directly from a Beagle file in site
+    blocks, without ever materializing the full ``[M, N, 2]`` matrix on the
+    host (the reference holds all of M resident, reader_cy.pyx:71).
+
+    Pipeline: a prefetch thread parses block i+1 while block i is placed
+    into the SNP-sharded device arrays via a donated
+    ``dynamic_update_slice`` (in-place on device).  Peak host memory is
+    O(block); M is bounded by aggregate device HBM, not host RAM.
+
+    Returns ``(cohort, meta, site_names)`` where ``meta`` is a
+    :class:`wgsassign_tpu.io.stream.BeagleStreamMeta` and ``site_names`` is
+    None unless ``collect_site_names`` (which reintroduces an O(M) host
+    cost and is meant for tests / small runs).
+    """
+    import math as _math
+
+    import jax
+    import jax.numpy as jnp
+
+    from wgsassign_tpu.io.stream import open_block_iterator, prefetch
+
+    if runtime is None:
+        runtime = make_runtime()
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "streamed ingest is single-process; multi-host runs shard rows "
+            "per process via read_beagle_sharded instead"
+        )
+    from wgsassign_tpu.io.beagle import beagle_dims
+
+    mult = runtime.site_multiple(site_multiple)
+    _m_scan, n_scan = beagle_dims(path, use_native=use_native)
+    if block_rows is None:
+        # ~256 MiB of parsed GL (2 float32s per site-individual) per block
+        block_rows = max((256 << 20) // (8 * max(n_scan, 1)), 1)
+    block_rows = max(_math.ceil(block_rows / mult) * mult, mult)
+    meta, blocks = open_block_iterator(path, block_rows, use_native)
+    m_real = meta.n_sites
+    n = meta.n_inds
+    m_pad = _math.ceil(max(m_real, 1) / mult) * mult
+
+    def alloc(fill):
+        return jax.jit(
+            lambda: jnp.full((m_pad, n), fill, jnp.float32),
+            out_shardings=runtime.sites_sharding(2),
+        )()
+
+    g0 = alloc(PAD_G0)
+    g1 = alloc(PAD_G1)
+    w = jax.jit(
+        lambda: (jnp.arange(m_pad) < m_real).astype(jnp.float32),
+        out_shardings=runtime.sites_sharding(1),
+    )()
+
+    update = jax.jit(
+        lambda dst, src, lo: jax.lax.dynamic_update_slice(dst, src, (lo, 0)),
+        donate_argnums=(0,),
+    )
+
+    site_names = [] if collect_site_names else None
+    lo = 0
+    for gl_block, names in prefetch(blocks):
+        b = gl_block.shape[0]
+        if lo + b > m_real:
+            raise ValueError(
+                f"Beagle file {path} grew during streaming ingest "
+                f"({lo + b} rows > dims scan {m_real})"
+            )
+        is_final = lo + b == m_real
+        g0_src = np.ascontiguousarray(gl_block[:, :, 0])
+        g1_src = np.ascontiguousarray(gl_block[:, :, 1])
+        if is_final and m_pad - lo != b:
+            # pad the tail block out to the device array's end
+            tail = m_pad - lo
+
+            def pad_tail(a, fill):
+                out = np.full((tail, a.shape[1]), fill, dtype=a.dtype)
+                out[: a.shape[0]] = a
+                return out
+
+            g0_src = pad_tail(g0_src, PAD_G0)
+            g1_src = pad_tail(g1_src, PAD_G1)
+        g0 = update(g0, g0_src, lo)
+        g1 = update(g1, g1_src, lo)
+        if site_names is not None:
+            site_names.extend(names)
+        lo += b
+    if lo != m_real:
+        raise ValueError(
+            f"Beagle file {path} shrank during streaming ingest "
+            f"({lo} rows < dims scan {m_real})"
+        )
+    cohort = DeviceCohort(
+        g0=g0, g1=g1, site_weight=w, m_real=m_real, runtime=runtime
+    )
+    return cohort, meta, site_names
+
+
 def pad_af_to(af: np.ndarray, m_pad: int) -> np.ndarray:
     """Pad an ``[M, K]`` AF panel's site axis up to ``m_pad`` with 0.5."""
     m = af.shape[0]
