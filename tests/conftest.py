@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# WGSA_TEST_PLATFORM=tpu runs the suite against the real chip (hardware
+# smoke for the Pallas Mosaic path — see .claude/skills/verify); default is
+# the 8-virtual-device CPU mesh.
+if os.environ.get("WGSA_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

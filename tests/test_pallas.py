@@ -1,7 +1,16 @@
-"""Fused Pallas EM vs the XLA reference path (interpret mode on CPU)."""
+"""Fused Pallas EM vs the XLA reference path.
+
+Runs in interpret mode on the CPU CI mesh; under WGSA_TEST_PLATFORM=tpu the
+same parameterizations compile through Mosaic on the real chip (tail
+blocks, replay, unaligned site counts — the shape classes interpret mode
+cannot validate)."""
+
+import os
 
 import numpy as np
 import pytest
+
+INTERPRET = os.environ.get("WGSA_TEST_PLATFORM", "cpu") == "cpu"
 
 from wgsassign_tpu.ops.emmaf import em_maf_pops
 from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
@@ -30,7 +39,7 @@ def test_fused_matches_xla(tol, max_iter, chunk):
         g0, g1, membership, pop_index, sw, m, max_iter, tol
     )
     f, iters, conv = em_maf_pops_fused(
-        g0, g1, membership, sw, m, max_iter, tol, chunk=chunk, interpret=True
+        g0, g1, membership, sw, m, max_iter, tol, chunk=chunk, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
@@ -49,7 +58,7 @@ def test_fused_with_padding_mask():
         g0, g1, membership, pop_index, sw, 64, 200, 1e-4
     )
     f, iters, _ = em_maf_pops_fused(
-        g0p, g1p, membership, swp, 64, 200, 1e-4, chunk=8, interpret=True
+        g0p, g1p, membership, swp, 64, 200, 1e-4, chunk=8, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_allclose(
@@ -83,7 +92,7 @@ def test_fused_checkpoint_resume(tmp_path):
 
     g0, g1, membership, pop_index, sw = _problem(m=64, n=16, k=2, seed=3)
     full, iters_full, _ = em_maf_pops_fused(
-        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True
+        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=INTERPRET
     )
     ck_path = str(tmp_path / "em.ckpt.npz")
     ck = EMCheckpoint(ck_path, interval_chunks=1)
@@ -104,7 +113,7 @@ def test_fused_checkpoint_resume(tmp_path):
     ck.maybe_save = counting
     try:
         em_maf_pops_fused(
-            g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True,
+            g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=INTERPRET,
             checkpoint=ck,
         )
     except Stop:
@@ -112,7 +121,7 @@ def test_fused_checkpoint_resume(tmp_path):
     assert ck.load() is not None
     ck.maybe_save = orig
     resumed, iters_res, _ = em_maf_pops_fused(
-        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=True,
+        g0, g1, membership, sw, 64, 60, 1e-5, chunk=8, interpret=INTERPRET,
         checkpoint=ck,
     )
     np.testing.assert_array_equal(np.asarray(iters_res), np.asarray(iters_full))
@@ -132,10 +141,13 @@ def test_fused_sharded_mesh_matches_xla():
         g0, g1, membership, pop_index, sw, 128, 100, 1e-4
     )
     rt = make_runtime(jax.devices())
-    assert rt.n_devices == 8
+    # 8 virtual devices on the CPU CI mesh; whatever the hardware offers
+    # (possibly 1) under WGSA_TEST_PLATFORM=tpu — the shard_map'd path is
+    # exercised either way
+    assert rt.n_devices == (8 if INTERPRET else jax.device_count())
     f, iters, _ = em_maf_pops_fused(
         rt.shard_sites(g0), rt.shard_sites(g1), membership,
-        rt.shard_sites(sw), 128, 100, 1e-4, chunk=16, interpret=True,
+        rt.shard_sites(sw), 128, 100, 1e-4, chunk=16, interpret=INTERPRET,
         runtime=rt,
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
@@ -144,9 +156,10 @@ def test_fused_sharded_mesh_matches_xla():
 
 def test_fused_lane_unfriendly_site_count():
     """Site counts whose largest power-of-two divisor is < 128 (e.g. 4000 =
-    32 * 125) must not produce an invalid <128-lane Pallas tile — regression
-    for the production-scale tile bug (now: single-tile fallback, and
-    ``to_device`` pads to mesh.PALLAS_SITE_TILE multiples)."""
+    32 * 125) must not reach Mosaic as an unaligned lane tile — regression
+    for the production-scale tile bug and for the hardware-smoke finding
+    that an unaligned whole-array tile stalls for minutes on the chip (the
+    drivers now pre-pad the site axis to a 128 multiple)."""
     from wgsassign_tpu.ops.pallas_emmaf import _tile_m
 
     for m in (4000, 96, 449, 500000, 1 << 20):
@@ -159,7 +172,7 @@ def test_fused_lane_unfriendly_site_count():
         g0, g1, membership, pop_index, sw, 4000, 50, 1e-4
     )
     f, iters, _ = em_maf_pops_fused(
-        g0, g1, membership, sw, 4000, 50, 1e-4, chunk=16, interpret=True
+        g0, g1, membership, sw, 4000, 50, 1e-4, chunk=16, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     # 50 unconverged f32 iterations accumulate ~1 ulp/iter of reduction-order
@@ -193,7 +206,7 @@ def test_fused_site_block_streaming(monkeypatch):
     assert pe._block_sites(96, g0.shape[1], 32) == 32
     monkeypatch.setattr(pe, "_block_sites", lambda m, n, align: 32)
     f, iters, conv = em_maf_pops_fused(
-        g0, g1, membership, sw, 96, 200, 1e-4, chunk=8, interpret=True
+        g0, g1, membership, sw, 96, 200, 1e-4, chunk=8, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
@@ -219,34 +232,37 @@ def test_sharded_chunk_program_cache():
 
     pe._SHARDED_CHUNK_CACHE.clear()
     pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
-                        rt.replicate(limits), 4, interpret=True)
+                        rt.replicate(limits), 4, interpret=INTERPRET)
     assert len(pe._SHARDED_CHUNK_CACHE) == 1
     # second call with different limit *values* (same shapes): cache hit
     limits2 = np.full((1, 2), 2.0, np.float32)
     pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
-                        rt.replicate(limits2), 4, interpret=True)
+                        rt.replicate(limits2), 4, interpret=INTERPRET)
     assert len(pe._SHARDED_CHUNK_CACHE) == 1
     # different chunk length: one new entry
     pe.em_chunk_sharded(rt, g0d, g1d, ft, rt.replicate(onehot), inv_counts,
-                        rt.replicate(limits2), 2, interpret=True)
+                        rt.replicate(limits2), 2, interpret=INTERPRET)
     assert len(pe._SHARDED_CHUNK_CACHE) == 2
 
 
 def test_pallas_capability_probe():
     """pallas_enabled() must be a capability probe, not a platform-name
     test: on the CPU test backend Mosaic is unavailable, so auto mode must
-    pick the XLA path (and interpret mode for forced-pallas runs), while
-    explicit flags are always honored."""
+    pick the XLA path (and interpret mode for forced-pallas runs); on real
+    hardware (WGSA_TEST_PLATFORM=tpu) the probe must find Mosaic even
+    though the plugin reports a non-"tpu" platform name.  Explicit flags
+    are always honored."""
     import jax
 
     from wgsassign_tpu.parallel.mesh import make_runtime
 
+    has_mosaic = not INTERPRET  # CPU CI: no; hardware smoke: yes
     rt_auto = make_runtime(jax.devices()[:1])
-    assert rt_auto.pallas_enabled() is False
-    assert rt_auto.pallas_interpret() is True
+    assert rt_auto.pallas_enabled() is has_mosaic
+    assert rt_auto.pallas_interpret() is (not has_mosaic)
     rt_forced = make_runtime(jax.devices()[:1], use_pallas=True)
     assert rt_forced.pallas_enabled() is True
-    assert rt_forced.pallas_interpret() is True
+    assert rt_forced.pallas_interpret() is (not has_mosaic)
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +294,7 @@ def test_fused_loo_matches_xla(tol, max_iter, chunk):
         g0p, g1p, sw, m, max_iter, tol
     )
     f, iters, conv = em_maf_loo_group_fused(
-        g0p, g1p, m, max_iter, tol, chunk=chunk, interpret=True
+        g0p, g1p, m, max_iter, tol, chunk=chunk, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
@@ -296,7 +312,7 @@ def test_fused_loo_with_padding():
     g1pp = np.concatenate([g1p, np.zeros((5, pad), np.float32)], axis=1)
     f_ref, iters_ref, _ = em_maf_loo_group(g0p, g1p, sw, 64, 200, 1e-4)
     f, iters, _ = em_maf_loo_group_fused(
-        g0pp, g1pp, 64, 200, 1e-4, chunk=8, interpret=True
+        g0pp, g1pp, 64, 200, 1e-4, chunk=8, interpret=INTERPRET
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_allclose(
@@ -319,7 +335,7 @@ def test_fused_loo_sharded_mesh_matches_xla():
     shard = NamedSharding(rt.mesh, P(None, SNP_AXIS))
     f, iters, _ = em_maf_loo_group_fused(
         jax.device_put(g0p, shard), jax.device_put(g1p, shard),
-        128, 100, 1e-4, chunk=16, interpret=True, runtime=rt,
+        128, 100, 1e-4, chunk=16, interpret=INTERPRET, runtime=rt,
     )
     np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-6)

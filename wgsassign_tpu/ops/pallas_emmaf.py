@@ -77,12 +77,15 @@ def _tile_m(m: int, n: int) -> int:
     """Pick the site-tile size for the chunk kernel.
 
     The tile is the lane (minor) dimension of the transposed ``[K, tile]``
-    AF block, so Mosaic requires ``tile % 128 == 0`` — or a single tile
-    equal to the whole array (any size), the small-problem fallback.  At
-    production scale ``to_device`` pads the site axis so a >=128 divisor
-    always exists (mesh.PALLAS_SITE_TILE); the 128 floor means cohorts with
-    very large N (> ~10k individuals) exceed the soft VMEM budget — switch
-    those to the XLA path (``use_pallas=False``).
+    AF block, so Mosaic requires ``tile % 128 == 0``; the fused drivers
+    pre-pad the site axis to a 128 multiple, so a >=128 divisor always
+    exists there (the whole-array fallback in the last line remains only
+    for direct kernel calls in interpret mode — on hardware an unaligned
+    whole-array tile lowers pathologically).  At production scale
+    ``to_device`` pads the site axis further (mesh.PALLAS_SITE_TILE); the
+    128 floor means cohorts with very large N (> ~10k individuals) exceed
+    the soft VMEM budget — switch those to the XLA path
+    (``use_pallas=False``).
     """
     tile = _VMEM_BUDGET_BYTES // (2 * 4 * max(n, 1))
     tile = 1 << (int(tile).bit_length() - 1)  # floor to power of two
@@ -290,10 +293,32 @@ def em_maf_pops_fused(
     counts = membership.sum(axis=0)
     inv_counts = tuple(float(1.0 / c) for c in counts)
     m = g0.shape[0]
+    sw_h = np.asarray(site_weight, np.float32)
+
+    # Mosaic requires the lane (site) axis of every [K, tile] block to be a
+    # multiple of 128.  The whole-array fallback tile *compiles* for
+    # unaligned m but lowers pathologically on real hardware (minutes-long
+    # stalls — hardware-smoke finding), so align here: padded sites carry
+    # the (1, 0) GL fixed point and zero weight, leaving trajectories and
+    # convergence partials bit-identical.
+    m_orig = m
+    lane_pad = (-m) % 128
+    if lane_pad:
+        if runtime is not None and runtime.n_devices > 1:
+            raise ValueError(
+                f"fused EM on a {runtime.n_devices}-device mesh needs the "
+                f"site axis pre-padded (got m={m}); use to_device / "
+                "runtime.site_multiple()"
+            )
+        g0 = jnp.pad(jnp.asarray(g0), ((0, lane_pad), (0, 0)),
+                     constant_values=1.0)
+        g1 = jnp.pad(jnp.asarray(g1), ((0, lane_pad), (0, 0)),
+                     constant_values=0.0)
+        sw_h = np.pad(sw_h, (0, lane_pad))
+        m += lane_pad
 
     # padded sites start at their fixed point (see module docstring), so
     # they contribute exactly zero to every convergence partial
-    sw_h = np.asarray(site_weight, np.float32)
     f_row = np.where(sw_h > 0, np.float32(0.25), np.float32(_EM_EPS))
     ft_h = np.broadcast_to(f_row, (k, m))
 
@@ -361,7 +386,7 @@ def em_maf_pops_fused(
     )
     from wgsassign_tpu.parallel.mesh import fetch_to_host
 
-    f = np.ascontiguousarray(fetch_to_host(ft).T)
+    f = np.ascontiguousarray(fetch_to_host(ft).T[:m_orig])
     return f, jnp.asarray(iters), jnp.asarray(~active)
 
 
@@ -605,6 +630,23 @@ def em_maf_loo_group_fused(
     """
     n_p, m = g0p.shape
 
+    # lane alignment, as in em_maf_pops_fused: unaligned site axes lower
+    # pathologically through Mosaic; pad with the (1, 0) fixed-point GL
+    m_orig = m
+    lane_pad = (-m) % 128
+    if lane_pad:
+        if runtime is not None and runtime.n_devices > 1:
+            raise ValueError(
+                f"fused LOO EM on a {runtime.n_devices}-device mesh needs "
+                f"the site axis pre-padded (got m={m}); use to_device / "
+                "runtime.site_multiple()"
+            )
+        g0p = jnp.pad(jnp.asarray(g0p), ((0, 0), (0, lane_pad)),
+                      constant_values=1.0)
+        g1p = jnp.pad(jnp.asarray(g1p), ((0, 0), (0, lane_pad)),
+                      constant_values=0.0)
+        m += lane_pad
+
     # padded sites start at their fixed point (f = EPS under the (1, 0) GL
     # pattern) so they contribute exactly zero to the convergence partials
     f_row = np.full(m, _EM_EPS, dtype=np.float32)
@@ -643,4 +685,6 @@ def em_maf_loo_group_fused(
     ft, iters, active = _drive_chunks(
         run_chunk, put_ft, ft, n_p, max_iter, tol, m_real, chunk, checkpoint
     )
+    if m != m_orig:
+        ft = ft[:, :m_orig]
     return ft, jnp.asarray(iters), jnp.asarray(~active)
