@@ -44,7 +44,19 @@ def estimate_reference_af(
     if cohort is None:
         cohort = to_device(beagle, runtime)
     rt = cohort.runtime
-    if rt.pallas_enabled():
+    from wgsassign_tpu.ops.pallas_emmaf import MAX_FUSED_EM_INDIVIDUALS
+
+    use_fused = rt.pallas_enabled()
+    if use_fused and beagle.n_inds > MAX_FUSED_EM_INDIVIDUALS:
+        from wgsassign_tpu.obs.log import logger
+
+        logger.warning(
+            "reference-AF EM: %d individuals exceeds the fused kernel's "
+            "VMEM bound (%d); auto-falling back to the XLA path",
+            beagle.n_inds, MAX_FUSED_EM_INDIVIDUALS,
+        )
+        use_fused = False
+    if use_fused:
         # fused multi-iteration Pallas kernel: one HBM read of the GL
         # panels per chunk instead of per iteration; on a multi-device mesh
         # the chunk runs per shard under shard_map with psum'd convergence

@@ -65,6 +65,13 @@ _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 # the per-chunk convergence partials are global.
 _BLOCK_OPERAND_BYTES = 1 << 30
 
+# Auto-fallback bound for the fused all-populations EM: the kernel's GL
+# tile is [tile_m, N] x2 panels with tile_m >= 128 (Mosaic lane floor), so
+# above this individual count even the smallest tile blows the soft VMEM
+# budget and drivers switch to the XLA while-loop path instead of asking
+# the user for --no_pallas.
+MAX_FUSED_EM_INDIVIDUALS = _VMEM_BUDGET_BYTES // (2 * 4 * 128)
+
 
 def _block_sites(m: int, n: int, align: int) -> int:
     lanes = -(-max(n, 1) // 128) * 128
