@@ -426,3 +426,30 @@ def test_large_cohort_auto_falls_back_to_xla(breeding, breeding_ids, monkeypatch
     assert any("auto-falling back" in r.message for r in caplog.records)
     np.testing.assert_allclose(res.af, golden["af"], rtol=0, atol=2e-5)
     assert res.converged.all()
+
+
+def test_large_population_loo_auto_falls_back_to_xla(
+    breeding, breeding_ids, monkeypatch, caplog
+):
+    """LOO populations beyond the fused kernel's member bound must route to
+    the XLA path with a logged decision, and still match the golden LOO."""
+    import logging
+    import pathlib
+
+    import jax
+
+    from wgsassign_tpu.models.loo import leave_one_out
+    from wgsassign_tpu.models.reference_af import estimate_reference_af
+    from wgsassign_tpu.parallel.mesh import make_runtime
+    import wgsassign_tpu.ops.pallas_emmaf as pe
+
+    monkeypatch.setattr(pe, "MAX_FUSED_LOO_MEMBERS", 4)  # all pops > 4
+    golden = np.load(
+        pathlib.Path(__file__).parent / "golden" / "loo.npz", allow_pickle=True
+    )
+    rt = make_runtime(jax.devices()[:1], use_pallas=True)
+    ref = estimate_reference_af(breeding, breeding_ids, runtime=rt)
+    with caplog.at_level(logging.WARNING, logger="wgsassign_tpu"):
+        res = leave_one_out(breeding, ref.af, breeding_ids, runtime=rt)
+    assert any("auto-falling back" in r.message for r in caplog.records)
+    np.testing.assert_allclose(res.ll, golden["ll"], rtol=0, atol=5e-4)
