@@ -214,3 +214,75 @@ def test_ind_start_zero_accepted(tmp_path):
     )
     z = np.loadtxt(str(out) + ".z_ind.txt")
     assert np.isfinite(z).all()
+
+
+def test_threads_flag_reaches_native_parser(tmp_path, monkeypatch):
+    """--threads must be forwarded to the native Beagle parser
+    (docs/migration.md documents it as the host parser thread cap)."""
+    import wgsassign_tpu._native as native
+    from wgsassign_tpu.io.beagle import _read_beagle_python
+
+    seen = {}
+
+    def fake_read(path, n_threads=None, row_range=None):
+        seen["n_threads"] = n_threads
+        return _read_beagle_python(path, row_range=row_range)
+
+    monkeypatch.setattr(native, "read_beagle_native", fake_read)
+    run_cli(
+        tmp_path,
+        "--beagle", BREEDING_BEAGLE,
+        "--pop_af_IDs", BREEDING_IDS,
+        "--get_reference_af",
+        "-t", 3,
+    )
+    assert seen["n_threads"] == 3
+
+
+def test_zscore_error_rate_flag(tmp_path, monkeypatch):
+    """--zscore_error_rate reaches the combo-table builder (the reference
+    hard-codes e=0.01, WGSassign.py:350,430)."""
+    import wgsassign_tpu.models.zscore as zs
+
+    seen = {}
+    real_build = zs.build_combo_tables
+
+    def spy(gl_i, ad_i, n_threshold, single_read_threshold, e=zs.SEQ_ERROR_RATE):
+        seen["e"] = e
+        return real_build(gl_i, ad_i, n_threshold, single_read_threshold, e)
+
+    monkeypatch.setattr(zs, "build_combo_tables", spy)
+    np.save(tmp_path / "af.npy", np.load(GOLDEN_DIR / "ref_af.npz")["af"])
+    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
+    np.savetxt(tmp_path / "pops.txt", pops, fmt="%s")
+    run_cli(
+        tmp_path,
+        "--beagle", NONBREEDING_BEAGLE,
+        "--pop_af_IDs", GOLDEN_DIR / "nonbreeding_assigned_ids.txt",
+        "--pop_af_file", tmp_path / "af.npy",
+        "--pop_names", tmp_path / "pops.txt",
+        "--ind_ad_file", GOLDEN_DIR / "nonbreeding_ad.txt.gz",
+        "--allele_count_threshold", 5,
+        "--get_assignment_z_score",
+        "--ind_end", 2,
+        "--zscore_error_rate", 0.2,
+    )
+    assert seen["e"] == pytest.approx(0.2)
+
+
+def test_mixture_single_row_ids(tmp_path):
+    """A one-individual pop_like/IDs pair must not IndexError (io.ids
+    handles the 1-D loadtxt case; cli reuses it)."""
+    ll = np.load(GOLDEN_DIR / "pop_like.npz")["ll"][:1]
+    np.savetxt(tmp_path / "pop_like.txt", ll, fmt="%.7f")
+    (tmp_path / "ids.txt").write_text("Ind0\tCO\n")
+    out = run_cli(
+        tmp_path,
+        "--pop_like", tmp_path / "pop_like.txt",
+        "--pop_like_IDs", tmp_path / "ids.txt",
+        "--get_em_mix",
+    )
+    em = np.loadtxt(str(out) + ".em_mix.txt", dtype=str)
+    assert em[0] == "CO"
+    pi = em[1:].astype(float)
+    assert pi.shape == (ll.shape[1],) and np.isfinite(pi).all()

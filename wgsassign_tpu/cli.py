@@ -34,7 +34,8 @@ parser = argparse.ArgumentParser(prog="WGSassign")
 parser.add_argument("-b", "--beagle", metavar="FILE",
     help="Filepath to genotype likelihoods in gzipped Beagle format from ANGSD")
 parser.add_argument("-t", "--threads", metavar="INT", type=int, default=1,
-    help="Number of host threads (parser); device parallelism uses the mesh")
+    help="Number of host threads for the Beagle parser (0 = all cores); "
+         "device parallelism uses the mesh")
 parser.add_argument("-o", "--out", metavar="OUTPUT", default="wgsassign",
     help="Prefix for output files")
 parser.add_argument("--maf_iter", metavar="INT", type=int, default=200,
@@ -85,6 +86,10 @@ parser.add_argument("--ind_start", metavar="INT", type=int,
     help="Start analysis at this individual index (0-indexed)")
 parser.add_argument("--ind_end", metavar="INT", type=int,
     help="End analysis at this individual index (exclusive upper bound)")
+parser.add_argument("--zscore_error_rate", metavar="FLOAT", type=float,
+    default=0.01,
+    help="Sequencing error rate for the z-score read-probability tables "
+         "(the reference hard-codes 0.01, WGSassign.py:350,430)")
 
 # Mixture proportions
 parser.add_argument("--pop_like", metavar="FILE",
@@ -240,6 +245,10 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                 "intersection; drop --stream_ingest"
             )
 
+    # --threads: host parser thread cap (0 = all cores, matching the native
+    # loader's default); device parallelism is the mesh, not this flag
+    n_threads = args.threads if args.threads and args.threads > 0 else None
+
     if args.beagle is not None and args.stream_ingest is not None:
         from wgsassign_tpu.models.common import stream_to_device
 
@@ -249,6 +258,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                 args.beagle, runtime,
                 site_multiple=args.partition_sites,
                 block_rows=args.stream_ingest or None,
+                n_threads=n_threads,
             )
         print(
             f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals "
@@ -262,7 +272,8 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             print("Parsing Beagle file (per-host row shards).")
             with timer.phase("parse"):
                 beagle = read_beagle_sharded(
-                    args.beagle, runtime, site_multiple=args.partition_sites
+                    args.beagle, runtime, site_multiple=args.partition_sites,
+                    n_threads=n_threads,
                 )
             print(
                 f"Loaded {beagle.n_sites} sites and {beagle.n_inds} "
@@ -271,7 +282,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         else:
             print("Parsing Beagle file.")
             with timer.phase("parse"):
-                beagle = read_beagle(args.beagle)
+                beagle = read_beagle(args.beagle, n_threads=n_threads)
             print(
                 f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals."
             )
@@ -281,7 +292,9 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
     if args.loo_downsampled_beagle is not None:
         print("Parsing the optional downsampled Beagle file.")
         with timer.phase("parse"):
-            downsampled = read_beagle(args.loo_downsampled_beagle)
+            downsampled = read_beagle(
+                args.loo_downsampled_beagle, n_threads=n_threads
+            )
         print(
             f"Loaded optional downsampled data set with {downsampled.n_sites} "
             f"sites and {downsampled.n_inds} individuals."
@@ -431,6 +444,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     beagle, ad, popmap, ind_start, ind_end, threshold,
                     args.single_read_threshold, args.maf_iter, args.maf_tole,
                     cohort=cohort, verbose=True,
+                    error_rate=args.zscore_error_rate,
                 )
             writers.write_z_scores(args.out, res.z, reference_mode=True)
             print(f"Saved {len(res.z)} individual z-scores as {args.out}.reference_z_ind.txt (text)")
@@ -444,6 +458,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     if args.pop_af_file else _require_af(args), pops,
                     ind_start, ind_end, threshold, args.single_read_threshold,
                     cohort=cohort, verbose=True,
+                    error_rate=args.zscore_error_rate,
                 )
             writers.write_z_scores(args.out, res.z, reference_mode=False)
             print(f"Saved {len(res.z)} individual z-scores as {args.out}.z_ind.txt (text)")
@@ -459,13 +474,15 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         print("Parsing population assignment likelihood file.")
         assert os.path.isfile(args.pop_like), "Population assignment log likelihood file does not exist!!"
         assert os.path.isfile(args.pop_like_IDs), "ID file does not exist!!"
-        ll_mat = np.loadtxt(args.pop_like)
-        ids = np.loadtxt(args.pop_like_IDs, delimiter="\t", dtype=str)
+        ll_mat = np.atleast_2d(np.loadtxt(args.pop_like))
+        # read_ids handles the single-row case a raw loadtxt[:, 1] would
+        # IndexError on
+        harvest_labels = read_ids(args.pop_like_IDs).pop_labels
         if args.get_em_mix:
             print("Calculating mixture proportions with EM")
             with timer.phase("mixture"):
                 res = em_mixture(
-                    ll_mat, ids[:, 1], args.mixture_iter, stable=args.stable_mix
+                    ll_mat, harvest_labels, args.mixture_iter, stable=args.stable_mix
                 )
             writers.write_mixture(args.out, format_mixture_output(res), mcmc=False)
             print(f"Saved EM mixture proportions {args.out}.em_mix.txt (text)")
@@ -473,7 +490,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             print("Calculating mixture proportions with MCMC")
             with timer.phase("mixture"):
                 res = mcmc_mixture(
-                    ll_mat, ids[:, 1], args.mixture_iter, seed=args.mcmc_seed,
+                    ll_mat, harvest_labels, args.mixture_iter, seed=args.mcmc_seed,
                     posterior_mean=not args.mcmc_last_draw,
                 )
             writers.write_mixture(args.out, format_mixture_output(res), mcmc=True)

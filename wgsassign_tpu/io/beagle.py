@@ -101,7 +101,8 @@ class BeagleShard:
 
 
 def read_beagle_sharded(path: str, runtime, site_multiple: int = 1,
-                        use_native: bool = True) -> BeagleShard:
+                        use_native: bool = True,
+                        n_threads=None) -> BeagleShard:
     """Multi-host ingest: dimension scan, then parse only this process's
     contiguous row window.
 
@@ -124,7 +125,8 @@ def read_beagle_sharded(path: str, runtime, site_multiple: int = 1,
             f"site multiple {mult_total} does not divide over {nproc} processes"
         )
     lo, hi, per = process_row_range(m_global, multiple=mult_total // nproc)
-    local = read_beagle(path, use_native=use_native, row_range=(lo, hi))
+    local = read_beagle(path, use_native=use_native, row_range=(lo, hi),
+                        n_threads=n_threads)
     return BeagleShard(local=local, m_global=m_global, lo=lo, hi=hi,
                        rows_per_process=per)
 
@@ -183,14 +185,17 @@ def _read_beagle_python(path: str, row_range=None) -> BeagleData:
     return BeagleData(gl, sample_names, site_names)
 
 
-def read_beagle(path: str, use_native: bool = True, row_range=None) -> BeagleData:
+def read_beagle(path: str, use_native: bool = True, row_range=None,
+                n_threads=None) -> BeagleData:
     """Parse a (gzipped) Beagle file into a :class:`BeagleData`.
 
     Prefers the native C++ streaming parser when available; falls back to the
     pure-Python implementation.  ``row_range=(lo, hi)`` restricts parsing to
     a contiguous data-row block (the per-host shard-loading window for
     multi-host runs — supported by both parsers; the native one stops
-    decompressing at the end of the window).
+    decompressing at the end of the window).  ``n_threads`` caps the native
+    parser's tokenizer thread pool (the CLI's ``--threads``; None = all
+    cores).
     """
     if not os.path.isfile(path):
         raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
@@ -198,7 +203,9 @@ def read_beagle(path: str, use_native: bool = True, row_range=None) -> BeagleDat
         try:
             from wgsassign_tpu._native import read_beagle_native
 
-            result = read_beagle_native(path, row_range=row_range)
+            result = read_beagle_native(
+                path, n_threads=n_threads, row_range=row_range
+            )
             if result is not None:
                 return result
         except ImportError:

@@ -96,13 +96,14 @@ def _iter_blocks_native(stream, block_rows: int) -> Iterator[Block]:
 
 
 def open_block_iterator(
-    path: str, block_rows: int, use_native: bool = True
+    path: str, block_rows: int, use_native: bool = True, n_threads=None
 ) -> Tuple[BeagleStreamMeta, Iterator[Block]]:
     """Dimension scan + sequential block iterator over a Beagle file.
 
     Returns the stream metadata (``m``/``n``/sample names, known up front
     from the dims scan and header) and a generator of
     ``(gl [b, N, 2], site_names)`` blocks, each with ``b <= block_rows``.
+    ``n_threads`` caps the native tokenizer's thread pool (None = all cores).
     """
     from wgsassign_tpu.io.beagle import beagle_dims
 
@@ -113,7 +114,7 @@ def open_block_iterator(
         try:
             from wgsassign_tpu._native import open_beagle_stream
 
-            stream = open_beagle_stream(path)
+            stream = open_beagle_stream(path, n_threads=n_threads)
             if stream is not None:
                 sample_names = stream.sample_names
                 it = _iter_blocks_native(stream, block_rows)

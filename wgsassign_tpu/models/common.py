@@ -121,6 +121,7 @@ def stream_to_device(
     block_rows: Optional[int] = None,
     use_native: bool = True,
     collect_site_names: bool = False,
+    n_threads: Optional[int] = None,
 ):
     """Build a :class:`DeviceCohort` directly from a Beagle file in site
     blocks, without ever materializing the full ``[M, N, 2]`` matrix on the
@@ -158,7 +159,9 @@ def stream_to_device(
         # ~256 MiB of parsed GL (2 float32s per site-individual) per block
         block_rows = max((256 << 20) // (8 * max(n_scan, 1)), 1)
     block_rows = max(_math.ceil(block_rows / mult) * mult, mult)
-    meta, blocks = open_block_iterator(path, block_rows, use_native)
+    meta, blocks = open_block_iterator(
+        path, block_rows, use_native, n_threads=n_threads
+    )
     m_real = meta.n_sites
     n = meta.n_inds
     m_pad = _math.ceil(max(m_real, 1) / mult) * mult

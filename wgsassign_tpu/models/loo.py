@@ -217,23 +217,24 @@ def _loo_group_em(rt, cohort, members_d, n_p, m_real, max_iter, tol,
     g0p, g1p = _member_panels(cohort.g0, cohort.g1, members_d)
     from wgsassign_tpu.ops.pallas_emmaf import MAX_FUSED_LOO_MEMBERS
 
-    if rt.pallas_enabled() and n_p > MAX_FUSED_LOO_MEMBERS:
-        from wgsassign_tpu.obs.log import logger
+    if rt.pallas_enabled():
+        if n_p > MAX_FUSED_LOO_MEMBERS:
+            from wgsassign_tpu.obs.log import logger
 
-        logger.warning(
-            "LOO EM: population of %d members exceeds the fused kernel's "
-            "VMEM bound (%d); auto-falling back to the XLA path",
-            n_p, MAX_FUSED_LOO_MEMBERS,
-        )
-    if rt.pallas_enabled() and n_p <= MAX_FUSED_LOO_MEMBERS:
-        from wgsassign_tpu.obs.checkpoint import EMCheckpoint
-        from wgsassign_tpu.ops.pallas_emmaf import em_maf_loo_group_fused
+            logger.warning(
+                "LOO EM: population of %d members exceeds the fused kernel's "
+                "VMEM bound (%d); auto-falling back to the XLA path",
+                n_p, MAX_FUSED_LOO_MEMBERS,
+            )
+        else:
+            from wgsassign_tpu.obs.checkpoint import EMCheckpoint
+            from wgsassign_tpu.ops.pallas_emmaf import em_maf_loo_group_fused
 
-        ckpt = EMCheckpoint(chunk_ckpt_path) if chunk_ckpt_path else None
-        return em_maf_loo_group_fused(
-            g0p, g1p, m_real, max_iter, tol,
-            interpret=rt.pallas_interpret(), checkpoint=ckpt, runtime=rt,
-        )
+            ckpt = EMCheckpoint(chunk_ckpt_path) if chunk_ckpt_path else None
+            return em_maf_loo_group_fused(
+                g0p, g1p, m_real, max_iter, tol,
+                interpret=rt.pallas_interpret(), checkpoint=ckpt, runtime=rt,
+            )
     return em_maf_loo_group(
         g0p, g1p, cohort.site_weight, m_real, max_iter, tol
     )

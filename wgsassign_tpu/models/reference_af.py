@@ -47,13 +47,15 @@ def estimate_reference_af(
     from wgsassign_tpu.ops.pallas_emmaf import MAX_FUSED_EM_INDIVIDUALS
 
     use_fused = rt.pallas_enabled()
-    if use_fused and beagle.n_inds > MAX_FUSED_EM_INDIVIDUALS:
+    # the cohort's individual count is authoritative for the VMEM decision
+    # (a prebuilt cohort may differ from the BeagleData it was derived from)
+    if use_fused and cohort.n_inds > MAX_FUSED_EM_INDIVIDUALS:
         from wgsassign_tpu.obs.log import logger
 
         logger.warning(
             "reference-AF EM: %d individuals exceeds the fused kernel's "
             "VMEM bound (%d); auto-falling back to the XLA path",
-            beagle.n_inds, MAX_FUSED_EM_INDIVIDUALS,
+            cohort.n_inds, MAX_FUSED_EM_INDIVIDUALS,
         )
         use_fused = False
     if use_fused:

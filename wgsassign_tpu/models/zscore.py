@@ -213,14 +213,15 @@ def _pad_to(a: np.ndarray, value, shape) -> np.ndarray:
     return out
 
 
-def _prepare_tables(beagle, ad, inds, n_threshold, single_read_threshold):
+def _prepare_tables(beagle, ad, inds, n_threshold, single_read_threshold,
+                    error_rate=SEQ_ERROR_RATE):
     """Combo tables + split enumerations for every individual in the range
     (vectorized host passes), and the shared padded shapes."""
     tables, splits = {}, {}
     for i in inds:
         t = build_combo_tables(
             beagle.gl[:, i, :], ad[:, 2 * i : 2 * i + 2],
-            n_threshold, single_read_threshold,
+            n_threshold, single_read_threshold, e=error_rate,
         )
         tables[i] = t
         splits[i] = _split_tables(t)
@@ -284,6 +285,7 @@ def _loo_af_block(g0, g1, keep, mem, mem_mask, site_w, s_real, max_iter, tol):
 def _run_blocks(
     cohort, beagle, ad, ind_start, ind_end, af_block_fn, per_ind_bytes_extra,
     n_threshold, single_read_threshold, verbose, block_bytes=None,
+    error_rate=SEQ_ERROR_RATE,
 ):
     """Shared batched driver.  ``af_block_fn(block, block_dev)`` returns a
     device ``[B, S]`` AF panel for the block's kept sites."""
@@ -293,7 +295,7 @@ def _run_blocks(
     if not inds:
         return out
     tables, splits, s_max, c_max, r_max = _prepare_tables(
-        beagle, ad, inds, n_threshold, single_read_threshold
+        beagle, ad, inds, n_threshold, single_read_threshold, error_rate
     )
     s_pad = _bucket(s_max, rt.site_multiple())
     c_pad = _bucket(c_max, 4)
@@ -350,6 +352,7 @@ def reference_z_scores(
     cohort: Optional[DeviceCohort] = None,
     verbose: bool = False,
     block_bytes: Optional[int] = None,
+    error_rate: float = SEQ_ERROR_RATE,
 ) -> ZScoreResult:
     """Reference mode: AF from a leave-one-out EM re-run of the individual's
     own population restricted to its kept sites (WGSassign.py:352-364).
@@ -401,6 +404,7 @@ def reference_z_scores(
     return _run_blocks(
         cohort, beagle, ad, ind_start, ind_end, af_block, extra_bytes,
         n_threshold, single_read_threshold, verbose, block_bytes,
+        error_rate,
     )
 
 
@@ -418,6 +422,7 @@ def assignment_z_scores(
     cohort: Optional[DeviceCohort] = None,
     verbose: bool = False,
     block_bytes: Optional[int] = None,
+    error_rate: float = SEQ_ERROR_RATE,
 ) -> ZScoreResult:
     """Assignment mode: AF is the saved panel's column for the individual's
     *assigned* population, sliced at the kept sites (WGSassign.py:425-443)."""
@@ -451,6 +456,7 @@ def assignment_z_scores(
     return _run_blocks(
         cohort, beagle, ad, ind_start, ind_end, af_block, lambda s: 0,
         n_threshold, single_read_threshold, verbose, block_bytes,
+        error_rate,
     )
 
 

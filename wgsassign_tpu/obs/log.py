@@ -15,19 +15,24 @@ logger = logging.getLogger("wgsassign_tpu")
 
 
 def setup_logging(level: str | None = None) -> logging.Logger:
-    """Configure the package logger once; level from arg or
-    ``WGSA_LOG_LEVEL`` (default WARNING so library use stays quiet)."""
-    if logger.handlers:
-        return logger
-    handler = logging.StreamHandler()
-    handler.setFormatter(
-        logging.Formatter(
-            "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S"
+    """Configure the package logger; level from arg or ``WGSA_LOG_LEVEL``
+    (default WARNING so library use stays quiet).
+
+    Records always propagate to the root logger (so pytest ``caplog`` and
+    app-level handlers see them); our formatted stderr handler is attached
+    only when the application has not configured root handlers of its own,
+    which avoids double-printing in embedding applications.
+    """
+    if not logger.handlers and not logging.getLogger().handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter(
+                "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S"
+            )
         )
-    )
-    logger.addHandler(handler)
+        logger.addHandler(handler)
     logger.setLevel(
         (level or os.environ.get("WGSA_LOG_LEVEL", "WARNING")).upper()
     )
-    logger.propagate = False
+    logger.propagate = True
     return logger
