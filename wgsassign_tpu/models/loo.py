@@ -121,6 +121,12 @@ def leave_one_out(
     af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
     af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
     af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
+    if rt.debug_checks:
+        from wgsassign_tpu.ops.loglik import check_loglik_inputs
+
+        check_loglik_inputs(
+            cohort.g0, cohort.g1, af_t.T, cohort.site_weight
+        )
     # HBM peak control at production scale (5M sites x 180 inds is ~7.2 GB
     # of GL panels + a 3.7 GB bank on a 16 GB chip): the bank buffer is
     # donated through each per-population scatter, so updates alias instead

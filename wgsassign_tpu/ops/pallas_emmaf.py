@@ -65,12 +65,44 @@ _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 # the per-chunk convergence partials are global.
 _BLOCK_OPERAND_BYTES = 1 << 30
 
-# Auto-fallback bound for the fused all-populations EM: the kernel's GL
-# tile is [tile_m, N] x2 panels with tile_m >= 128 (Mosaic lane floor), so
-# above this individual count even the smallest tile blows the soft VMEM
-# budget and drivers switch to the XLA while-loop path instead of asking
-# the user for --no_pallas.
-MAX_FUSED_EM_INDIVIDUALS = _VMEM_BUDGET_BYTES // (2 * 4 * 128)
+# Auto-fallback bound for the fused all-populations EM.  The per-step
+# working set at the 128-sublane floor tile is ~(2x2 double-buffered GL
+# panels + ~20 live [tile, N] f32 temporaries from the T-unrolled loop) =
+# 24 * 128 * N * 4 bytes; bounding it at 48 MB (vs the 64 MB
+# vmem_limit_bytes, leaving Mosaic headroom) gives N <= 4096.  Above this
+# individual count drivers switch to the XLA while-loop path instead of
+# asking the user for --no_pallas.
+MAX_FUSED_EM_INDIVIDUALS = (48 * 1024 * 1024) // (24 * 4 * 128)
+
+
+# One-time trivial Mosaic compile before the first fused-kernel compile of
+# the process.  Hardware finding (round 3, tunneled v5e host): the FIRST
+# Mosaic kernel a process compiles pays a ~minutes one-time backend
+# initialization regardless of kernel size (measured 260 s for a trivial
+# n_p=8 chunk; the very next, much larger kernel compiled in 3.3 s).  The
+# CLI path is implicitly warmed by the mesh capability probe
+# (parallel.mesh._probe_pallas, itself a tiny Mosaic kernel); direct
+# driver/bench callers get this guard so the cost attaches to a trivial
+# program instead of inflating a user-visible phase.
+_WARMED = False
+
+
+def _mosaic_warmup(interpret: bool) -> None:
+    global _WARMED
+    if _WARMED or interpret:
+        return
+    _WARMED = True
+    try:
+        import jax.experimental.pallas as pl
+
+        def _k(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+
+        np.asarray(pl.pallas_call(
+            _k, out_shape=jax.ShapeDtypeStruct((8, 128), _F32)
+        )(jnp.zeros((8, 128), _F32)))
+    except Exception:  # noqa: BLE001 — warm-up is best-effort
+        pass
 
 
 def _block_sites(m: int, n: int, align: int) -> int:
@@ -90,9 +122,9 @@ def _tile_m(m: int, n: int) -> int:
     for direct kernel calls in interpret mode — on hardware an unaligned
     whole-array tile lowers pathologically).  At production scale
     ``to_device`` pads the site axis further (mesh.PALLAS_SITE_TILE); the
-    128 floor means cohorts with very large N (> ~10k individuals) exceed
-    the soft VMEM budget — switch those to the XLA path
-    (``use_pallas=False``).
+    128 floor means cohorts beyond ``MAX_FUSED_EM_INDIVIDUALS`` (~4k
+    individuals, counting the unrolled-iteration temporaries) exceed the
+    VMEM headroom — drivers auto-route those to the XLA path.
     """
     tile = _VMEM_BUDGET_BYTES // (2 * 4 * max(n, 1))
     tile = 1 << (int(tile).bit_length() - 1)  # floor to power of two
@@ -295,6 +327,7 @@ def em_maf_pops_fused(
     (an :class:`wgsassign_tpu.obs.checkpoint.EMCheckpoint`) enables periodic
     save + resume of the chunk state.
     """
+    _mosaic_warmup(interpret)
     membership = np.asarray(membership, np.float32)
     n, k = membership.shape
     counts = membership.sum(axis=0)
@@ -409,8 +442,14 @@ def _drive_chunks(run_chunk, put_ft, ft, n_problems, max_iter, tol, m_real,
     stopped each problem at its own convergence iteration (reference
     emMAF.py:15-27 semantics, batched).
 
+    ``m_real`` may be a scalar (shared RMSE denominator) or a ``[P]``
+    vector (per-problem site counts — the z-score batched EM).
+
     Returns ``(ft, iters [P] int32, active [P] bool)``.
     """
+    m_real_vec = np.broadcast_to(
+        np.asarray(m_real, np.float64), (n_problems,)
+    )
     iters = np.full(n_problems, max_iter, dtype=np.int32)
     active = np.ones(n_problems, dtype=bool)
     it = 0
@@ -426,7 +465,7 @@ def _drive_chunks(run_chunk, put_ft, ft, n_problems, max_iter, tol, m_real,
         limits_vec = np.where(active, T, 0).astype(np.float32)
         ft_snapshot = ft
         ft, sq = run_chunk(ft, jnp.asarray(limits_vec.reshape(1, -1)), T)
-        rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / float(m_real))
+        rmse = np.sqrt(np.maximum(np.asarray(sq), 0.0) / m_real_vec[None, :])
         # first iteration (within chunk) at which each active problem converged
         crossed = rmse < tol  # [T, P]
         exact_limits = limits_vec.copy()
@@ -462,124 +501,191 @@ def _drive_chunks(run_chunk, put_ft, ft, n_problems, max_iter, tol, m_real,
 # additionally fuses T iterations per HBM read of the member GL panels,
 # the same chunk/replay convergence machinery as the reference-AF kernel.
 #
-# Per site tile the kernel materializes the [n_p, n_p, tile] pairwise
-# weight tensor w[i, j, s] (member i's EM weight under problem j's AF) in
-# VMEM and reduces it over i with the off-diagonal mask — identical op
-# order to ops.emmaf.em_maf_loo_group, so trajectories and convergence
-# iteration counts match the XLA path.  The site-minor [n_p, M] layout
-# keeps the big M axis on lanes (no HBM lane-padding blowup; the member
-# axis pads to 8 sublanes only).
+# The update needs the pairwise weight w[i, j, s] (member i's EM weight
+# under problem j's AF) reduced over i.  Three formulations fail on
+# hardware (round-3 measurements at n_p=96): a monolithic
+# [n_p, n_p, tile] VMEM tensor busts the budget above n_p ~ 100; ANY 3-D
+# formulation — including a problem-blocked [n_p, BJ, tile] — stalls
+# Mosaic for minutes (245 s compile), because the leading dimension of
+# 3-D elementwise ops is fully unrolled at compile time; and a rolled
+# ``fori_loop`` over problems with in-place row updates compiles slowly
+# AND executes ~100x off VPU estimates (dynamic-slice row writes defeat
+# Mosaic's scheduling).
+#
+# The structure that works is the one the (hardware-proven) reference-AF
+# chunk kernel uses: **problems on the grid**.  Grid (n_p, site_tiles);
+# each grid step runs the statically-unrolled T-iteration EM for ONE
+# problem on one site tile — pure 2-D [np_pad, tile] VPU ops, no in-kernel
+# loops, no dynamic indexing.  The GL panels are NOT duplicated per
+# problem: their BlockSpec index map sends every problem row to the same
+# [np_pad, tile] block, so HBM holds one copy and VMEM re-fetches it per
+# (problem, tile) step (compute/DMA ratio 12·T/8 flops per byte — far
+# above the VPU:HBM balance point, so the refetch hides).  The problem's
+# own row (and padded member rows) is excluded with an iota mask against
+# ``program_id(0)`` — the same mask-multiply sum as the XLA path, keeping
+# float32 rounding, trajectories and convergence iteration counts
+# bit-identical to ``em_maf_loo_group``.  The site-minor [n_p, M] layout
+# keeps the big M axis on lanes (the member axis pads to 8 sublanes only).
 # ---------------------------------------------------------------------------
 
+# VMEM working-set target for one LOO grid step: double-buffered
+# [np_pad, tile] GL blocks and ~4 live fused temporaries.  Deliberately
+# below the 64 MB vmem_limit_bytes so Mosaic has headroom and never
+# spills.
+_LOO_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
-def _loo_tile_m(m: int, n_p: int) -> int:
-    """Site-tile size for the LOO chunk kernel.  The [n_p, n_p, tile] f32
-    pairwise tensor (and ~4 fused temporaries) must fit the VMEM budget;
-    the tile is the lane dimension, so Mosaic needs tile % 128 == 0 (or one
-    whole-array tile, the small-problem fallback)."""
-    np8 = -(-n_p // 8) * 8  # sublane padding
-    tile = _VMEM_BUDGET_BYTES // (4 * n_p * np8 * 4)
-    tile = 1 << (int(max(tile, 1)).bit_length() - 1)
-    tile = max(128, min(tile, 2048))
-    while m % tile != 0 and tile > 128:
-        tile //= 2
-    return tile if m % tile == 0 else m
+
+def _loo_step_bytes(np_pad: int, tile: int) -> int:
+    """Estimated VMEM bytes for one (problem, site-tile) grid step."""
+    panels = 2 * 2 * np_pad * tile   # g0/g1 in, double buffered
+    temps = 4 * np_pad * tile        # p0/p1/p2/w live f32 temporaries
+    state = 8 * tile                 # f rows / update temporaries
+    return 4 * (panels + temps + state)
+
+
+def _loo_block_sizes(m: int, n_p: int):
+    """Pick ``(np_pad, tile)``: member==problem axis rounded to 8 sublanes
+    (padded members are masked in-kernel, padded problems get zero
+    iteration limits), site tile grown while the working set fits."""
+    np_pad = -(-n_p // 8) * 8
+    tile = 128
+    while (
+        tile < 1024
+        and m % (tile * 2) == 0
+        and _loo_step_bytes(np_pad, tile * 2) <= _LOO_VMEM_BUDGET_BYTES
+    ):
+        tile *= 2
+    if m % tile != 0:  # interpret-mode direct calls on unaligned arrays
+        tile = m
+    return np_pad, tile
+
+
+def max_fused_loo_members() -> int:
+    """Largest member count the kernel runs within the VMEM budget at the
+    128-lane floor tile."""
+    np8 = 8
+    while _loo_step_bytes(np8 + 8, 128) <= _LOO_VMEM_BUDGET_BYTES:
+        np8 += 8
+    return min(np8, 1024)
 
 
 def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
-                      *, T: int, NP: int):
+                      *, T: int, NP_PAD: int, n_real: int):
     import jax.experimental.pallas as pl
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         sq_ref[:] = jnp.zeros_like(sq_ref)
 
-    g0 = g0_ref[:]              # [NP, tile]
+    g0 = g0_ref[:]              # [NP_PAD, tile] — all members' GLs
     g1 = g1_ref[:]
     g2 = 1.0 - g0 - g1          # iteration-invariant
-    limits_col = limits_ref[:].T  # [NP, 1] per-problem update limits
-    f = ft_ref[:]               # [NP, tile] — row j = problem j's AF
+    j = pl.program_id(0)        # this grid row's LOO problem index
+    row = jax.lax.broadcasted_iota(jnp.int32, (NP_PAD, 1), 0)
+    # member i participates in problem j iff i != j and i is real — the
+    # same mask-multiply n-term sum as the XLA path (float32 rounding,
+    # trajectories and iteration counts stay bit-identical)
+    keep = ((row != j) & (row < n_real)).astype(_F32)
+    lim = limits_ref[0, 0, 0]   # scalar update limit for this problem
+    inv = 1.0 / (n_real - 1.0)
+    f = ft_ref[0]               # [1, tile] — problem j's AF on this tile
 
-    # off-diagonal membership mask (member i participates in problem j != i)
-    row = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
-    mask = (row != col).astype(_F32)[:, :, None]  # [NP, NP, 1]
-    inv = 1.0 / (NP - 1.0)
-
-    acc_rows = []
+    acc = []
     for t in range(T):
-        # w[i, j, s]: member i's weight under problem j's AF — same op order
-        # as em_maf_loo_group's update (bit-matching trajectories)
-        fj = f[None, :, :]
-        omf = 1.0 - fj
-        p0 = g0[:, None, :] * omf * omf
-        p1 = g1[:, None, :] * 2.0 * fj * omf
-        p2 = g2[:, None, :] * fj * fj
-        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP, NP, tile]
-        f_upd = jnp.sum(w * mask, axis=0) * inv         # [NP, tile]
+        omf = 1.0 - f
+        p0 = g0 * omf * omf
+        p1 = g1 * 2.0 * f * omf
+        p2 = g2 * f * f
+        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP_PAD, tile]
+        f_upd = jnp.sum(w * keep, axis=0, keepdims=True) * inv
         f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
-        f_new = jnp.where(limits_col > float(t), f_upd, f)
+        f_new = jnp.where(lim > float(t), f_upd, f)
         d = f_new - f
-        acc_rows.append(jnp.sum(d * d, axis=1, keepdims=True).T)  # [1, NP]
+        acc.append(jnp.sum(d * d, axis=1, keepdims=True))  # [1, 1]
         f = f_new
 
-    ftout_ref[:] = f
-    sq_ref[:] += jnp.concatenate(acc_rows, axis=0)  # [T, NP]
+    ftout_ref[0] = f
+    sq_ref[0] = sq_ref[0] + jnp.concatenate(acc, axis=0)  # [T, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "interpret"))
-def loo_chunk_pallas(g0p, g1p, ft, limits, T: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n_real", "T", "interpret"))
+def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
+                     interpret: bool = False):
     """One chunk of T fused LOO EM iterations for one population.
 
     Args:
-      g0p, g1p: float32 ``[n_p, M]`` member GL panels, site-minor (padded
-        site columns must hold the (1, 0) GL pattern).
-      ft: float32 ``[n_p, M]`` current per-problem AF (padded sites at
+      g0p, g1p: float32 ``[np_pad, M]`` member GL panels, site-minor.
+        Padded site columns and padded member rows (>= ``n_real``) must
+        hold the (1, 0) GL pattern.
+      ft: float32 ``[np_pad, M]`` current per-problem AF (padded sites at
         ``EM_EPS`` — their fixed point, so they add 0 to the partials).
-      limits: float32 ``[1, n_p]`` per-problem update limits (<= T).
+      limits: float32 ``[1, np_pad]`` per-problem update limits (<= T;
+        0 for padded problem rows).
+      n_real: real member count (the LOO divisor is ``n_real - 1``).
       T: chunk length (static).
 
-    Returns ``(ft_new [n_p, M], sq [T, n_p])``.
+    Returns ``(ft_new [np_pad, M], sq [T, np_pad])``.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_p, m = g0p.shape
-    tile = _loo_tile_m(m, n_p)
-    grid = (m // tile,)
-    kernel = functools.partial(_loo_chunk_kernel, T=T, NP=n_p)
+    np_pad, m = g0p.shape
+    np_pad2, tile = _loo_block_sizes(m, np_pad)
+    if np_pad2 != np_pad:
+        raise ValueError(
+            f"member axis {np_pad} not a sublane multiple; use "
+            "em_maf_loo_group_fused (it pads via _loo_block_sizes)"
+        )
+    grid = (np_pad, m // tile)  # problems outer, site tiles inner
+    kernel = functools.partial(
+        _loo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real
+    )
+    # per-problem state/limits/partials travel with a leading problem axis
+    # whose block size is 1 (Mosaic's block rules apply to the last two
+    # dims only); the GL panels are NOT duplicated — their index map sends
+    # every problem row to the same block
+    ft3 = ft.reshape(np_pad, 1, m)
+    limits3 = limits.reshape(np_pad, 1, 1)
     ft_new, sq = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, tile), lambda j, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, tile), lambda j, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda j, s: (j, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda j, s: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, n_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda j, s: (j, 0, s),
+                         memory_space=pltpu.VMEM),
+            # constant across a problem's site sweep: accumulates in VMEM,
+            # flushed when the problem row advances
+            pl.BlockSpec((1, T, 1), lambda j, s: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_p, m), _F32),
-            jax.ShapeDtypeStruct((T, n_p), _F32),
+            jax.ShapeDtypeStruct((np_pad, 1, m), _F32),
+            jax.ShapeDtypeStruct((np_pad, T, 1), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(g0p, g1p, ft, limits)
-    return ft_new, sq
+    )(g0p, g1p, ft3, limits3)
+    return ft_new.reshape(np_pad, m), sq[:, :, 0].T
 
 
-# One traced shard_map program per (mesh, n_p, T, interpret) — the LOO
+# One traced shard_map program per (mesh, n_real, T, interpret) — the LOO
 # analogue of _SHARDED_CHUNK_CACHE.
 _SHARDED_LOO_CACHE = {}
 
 
-def _sharded_loo_chunk_fn(mesh, T: int, interpret: bool):
-    key = (mesh, T, interpret)
+def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
+    key = (mesh, n_real, T, interpret)
     fn = _SHARDED_LOO_CACHE.get(key)
     if fn is not None:
         return fn
@@ -593,7 +699,7 @@ def _sharded_loo_chunk_fn(mesh, T: int, interpret: bool):
 
     def body(g0s, g1s, fts, limits_s):
         ft_new, sq = loo_chunk_pallas(
-            g0s, g1s, fts, limits_s, T, interpret=interpret
+            g0s, g1s, fts, limits_s, n_real, T, interpret=interpret
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
@@ -611,9 +717,12 @@ def _sharded_loo_chunk_fn(mesh, T: int, interpret: bool):
     return fn
 
 
-# VMEM sanity bound: above this member count the [n_p, n_p, 128] pairwise
-# tile alone crowds out the budget — fall back to the XLA while-loop path.
-MAX_FUSED_LOO_MEMBERS = 256
+# Auto-fallback bound for the fused LOO EM.  The problem-axis tiling keeps
+# the VMEM working set at [n_p, BJ, tile] (not [n_p, n_p, tile]), so the
+# bound is where even the minimum BJ=8 block no longer fits the budget —
+# ~450 members, vs ~100 for the round-2 monolithic kernel.  Populations
+# above it fall back to the XLA while-loop path in the caller.
+MAX_FUSED_LOO_MEMBERS = max_fused_loo_members()
 
 
 def em_maf_loo_group_fused(
@@ -635,7 +744,16 @@ def em_maf_loo_group_fused(
     convergence semantics via chunk replay.  Sites >= ``m_real`` must carry
     the (1, 0) padding GL pattern.
     """
+    _mosaic_warmup(interpret)
     n_p, m = g0p.shape
+
+    # pin the member panels to device once — chunk calls with host numpy
+    # panels would re-upload them every chunk (and stall badly on tunneled
+    # hosts); the model layer already passes device-resident gathers
+    if isinstance(g0p, np.ndarray):
+        g0p = jnp.asarray(g0p)
+    if isinstance(g1p, np.ndarray):
+        g1p = jnp.asarray(g1p)
 
     # lane alignment, as in em_maf_pops_fused: unaligned site axes lower
     # pathologically through Mosaic; pad with the (1, 0) fixed-point GL
@@ -654,11 +772,28 @@ def em_maf_loo_group_fused(
                       constant_values=0.0)
         m += lane_pad
 
+    # member==problem axis padding up to the sublane multiple (padded member
+    # rows carry the (1, 0) GL pattern and are masked out of every sum
+    # in-kernel; padded problem rows get zero iteration limits and are
+    # sliced off the returned state/partials)
+    np_pad, _tile = _loo_block_sizes(m, n_p)
+    row_pad = np_pad - n_p
+    if row_pad:
+        g0p = jnp.pad(jnp.asarray(g0p), ((0, row_pad), (0, 0)),
+                      constant_values=1.0)
+        g1p = jnp.pad(jnp.asarray(g1p), ((0, row_pad), (0, 0)),
+                      constant_values=0.0)
+
     # padded sites start at their fixed point (f = EPS under the (1, 0) GL
     # pattern) so they contribute exactly zero to the convergence partials
     f_row = np.full(m, _EM_EPS, dtype=np.float32)
     f_row[:m_real] = 0.25
-    ft_h = np.broadcast_to(f_row, (n_p, m))
+    ft_h = np.broadcast_to(f_row, (np_pad, m))
+
+    def pad_limits(limits_arr):
+        if not row_pad:
+            return limits_arr
+        return jnp.pad(limits_arr, ((0, 0), (0, row_pad)))
 
     if runtime is not None and runtime.n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -670,28 +805,220 @@ def em_maf_loo_group_fused(
         def put_ft(arr):
             return jax.device_put(np.ascontiguousarray(arr), ft_sharding)
 
-        chunk_fn = _sharded_loo_chunk_fn(runtime.mesh, chunk, interpret)
+        chunk_fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, chunk, interpret)
 
         def run_chunk(ft_in, limits_arr, T):
             if T != chunk:  # tail chunk: separate (cached) program
-                fn = _sharded_loo_chunk_fn(runtime.mesh, T, interpret)
+                fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret)
             else:
                 fn = chunk_fn
-            return fn(g0p, g1p, ft_in, limits_arr)
+            ft_new, sq = fn(g0p, g1p, ft_in, pad_limits(limits_arr))
+            return ft_new, sq[:, :n_p]
 
     else:
         def put_ft(arr):
             return jnp.asarray(np.ascontiguousarray(arr))
 
         def run_chunk(ft_in, limits_arr, T):
-            return loo_chunk_pallas(
-                g0p, g1p, ft_in, limits_arr, T, interpret=interpret
+            ft_new, sq = loo_chunk_pallas(
+                g0p, g1p, ft_in, pad_limits(limits_arr), n_p, T,
+                interpret=interpret,
             )
+            return ft_new, sq[:, :n_p]
 
     ft = put_ft(ft_h)
     ft, iters, active = _drive_chunks(
         run_chunk, put_ft, ft, n_p, max_iter, tol, m_real, chunk, checkpoint
     )
-    if m != m_orig:
-        ft = ft[:, :m_orig]
+    if m != m_orig or row_pad:
+        ft = ft[:n_p, :m_orig]
     return ft, jnp.asarray(iters), jnp.asarray(~active)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-problem-site-subset EM — the z-score reference mode's batched
+# "LOO EM restricted to the individual's kept sites" (reference
+# WGSassign.py:352-364, a serial per-individual host loop; README.md:218
+# calls the z pipeline its computational bottleneck).  Same contract as
+# ops.emmaf.em_maf_sites_batch ([B, P, S] gathered member panels, per-problem
+# member masks / site weights / RMSE denominators), with the fused
+# multi-iteration-per-HBM-read chunking and exact per-problem convergence
+# via the shared chunk/replay driver.
+# ---------------------------------------------------------------------------
+
+
+def _sites_step_bytes(p: int, tile: int) -> int:
+    """Estimated VMEM bytes for one (problem, site-tile) grid step: the
+    double-buffered [P, tile] GL panels plus ~4 live fused temporaries."""
+    return 4 * (2 * 2 * p * tile + 4 * p * tile + 4 * tile)
+
+
+def _sites_tile(s: int, p: int) -> int:
+    tile = 128
+    while (
+        tile < 1024
+        and s % (tile * 2) == 0
+        and _sites_step_bytes(p, tile * 2) <= _LOO_VMEM_BUDGET_BYTES
+    ):
+        tile *= 2
+    if s % tile != 0:  # unaligned site axes: one whole-array tile
+        tile = s
+    return tile
+
+
+def max_fused_sites_members() -> int:
+    """Largest member-panel depth P the sites-batch kernel runs within the
+    VMEM budget at the 128-lane floor tile."""
+    p = 8
+    while _sites_step_bytes(p + 8, 128) <= _LOO_VMEM_BUDGET_BYTES:
+        p += 8
+    return p
+
+
+MAX_FUSED_SITES_MEMBERS = max_fused_sites_members()
+
+
+def _sites_chunk_kernel(g0_ref, g1_ref, ft_ref, mask_ref, sw_ref, lim_ref,
+                        inv_ref, ftout_ref, sq_ref, *, T: int):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    g0 = g0_ref[0]            # [P, tile] — problem b's gathered member GLs
+    g1 = g1_ref[0]
+    g2 = 1.0 - g0 - g1        # iteration-invariant
+    mask_col = mask_ref[0].T  # [P, 1] member participation
+    sw = sw_ref[0]            # [1, tile] site weight (kept-site mask)
+    lim = lim_ref[0, 0, 0]    # scalar iteration limit for this problem
+    inv = inv_ref[0, 0, 0]    # scalar 1/member-count
+    f = ft_ref[0]             # [1, tile]
+
+    acc_rows = []
+    for t in range(T):
+        # same op order as em_maf_sites_batch's update (bit-matching
+        # trajectories, which the equivalence tests rely on)
+        omf = 1.0 - f
+        p0 = g0 * omf * omf
+        p1 = g1 * 2.0 * f * omf
+        p2 = g2 * f * f
+        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))        # [P, tile]
+        f_upd = jnp.sum(w * mask_col, axis=0, keepdims=True) * inv
+        f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
+        f_new = jnp.where(lim > float(t), f_upd, f)
+        d = f_new - f
+        acc_rows.append(jnp.sum(d * d * sw, axis=1, keepdims=True))  # [1, 1]
+        f = f_new
+
+    ftout_ref[0] = f
+    sq_ref[0] = sq_ref[0] + jnp.concatenate(acc_rows, axis=0)  # [T, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
+                       inv_counts, T: int, interpret: bool = False):
+    """One chunk of T fused iterations of the sites-batch EM.
+
+    Args:
+      g0p, g1p: float32 ``[B, P, S]`` gathered member GL panels.
+      ft: float32 ``[B, 1, S]`` current per-problem AF.
+      member_mask: float32 ``[B, 1, P]``.
+      site_weight: float32 ``[B, 1, S]``.
+      limits: float32 ``[B, 1, 1]`` per-problem update limits (<= T).
+      inv_counts: float32 ``[B, 1, 1]`` per-problem 1/member-count.
+
+    Returns ``(ft_new [B, 1, S], sq [T, B])``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, p, s = g0p.shape
+    tile = _sites_tile(s, p)
+    grid = (b, s // tile)  # problems outer, site tiles inner
+    kernel = functools.partial(_sites_chunk_kernel, T=T)
+    ft_new, sq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, p, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            # constant within a problem's site sweep: accumulates in VMEM
+            pl.BlockSpec((1, T, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, s), _F32),
+            jax.ShapeDtypeStruct((b, T, 1), _F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g0p, g1p, ft, member_mask, site_weight, limits, inv_counts)
+    return ft_new, sq[:, :, 0].T
+
+
+def em_maf_sites_batch_fused(
+    g0p,
+    g1p,
+    member_mask,
+    site_weight,
+    m_real,
+    max_iter: int,
+    tol,
+    chunk: int = 8,
+    interpret: bool = False,
+    checkpoint=None,
+):
+    """Driver: chunked fused sites-batch EM.
+
+    Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_sites_batch`
+    (returns ``(f [B, S], iters [B], converged [B])``) with the
+    multi-iteration Pallas kernel and exact per-problem convergence via
+    chunk replay.  Single-mesh-device only — callers on multi-device
+    runtimes use the XLA path.
+    """
+    _mosaic_warmup(interpret)
+    g0p = jnp.asarray(g0p)
+    g1p = jnp.asarray(g1p)
+    b, p, s = g0p.shape
+    mask3 = jnp.asarray(member_mask, _F32).reshape(b, 1, p)
+    sw3 = jnp.asarray(site_weight, _F32).reshape(b, 1, s)
+    counts = np.asarray(jnp.sum(mask3, axis=2)).reshape(b)
+    inv3 = jnp.asarray(
+        (1.0 / np.maximum(counts, 1.0)).astype(np.float32).reshape(b, 1, 1)
+    )
+    ft0 = np.full((b, 1, s), 0.25, dtype=np.float32)
+
+    def put_ft(arr):
+        return jnp.asarray(np.ascontiguousarray(arr))
+
+    def run_chunk(ft_in, limits_arr, T):
+        limits3 = limits_arr.reshape(b, 1, 1)
+        return sites_chunk_pallas(
+            g0p, g1p, ft_in, mask3, sw3, limits3, inv3, T,
+            interpret=interpret,
+        )
+
+    ft, iters, active = _drive_chunks(
+        run_chunk, put_ft, put_ft(ft0), b, max_iter, tol, m_real, chunk,
+        checkpoint,
+    )
+    return ft[:, 0, :], jnp.asarray(iters), jnp.asarray(~active)
