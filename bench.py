@@ -48,6 +48,23 @@ NOMINAL_HBM_GBPS = {
     "TPU v6e": 1640.0,
 }
 
+# Nominal VPU f32 peak (GFLOP/s) by device kind, so the achieved-FLOP/s
+# readout is an MFU fraction instead of a free-floating count.  The VPU
+# f32 peak is not on public spec sheets; these values are derived as
+# 8x128 lanes x 2 FLOPs/FMA x core clock, with the clock back-derived
+# from the published bf16 MXU peak (peak_bf16 / (n_MXU x 2 x 128^2)):
+# v4 275T/8MXU -> 1.05 GHz, v5e 197T/4MXU -> 1.5 GHz, v5p 459T/8MXU ->
+# 1.75 GHz, v6e 918T/8MXU(est) -> 1.75 GHz.  A documented estimate —
+# treat single-digit-percent MFU error as expected.
+NOMINAL_VPU_F32_GFLOPS = {
+    "TPU v4": 2150.0,
+    "TPU v5 lite": 3072.0,
+    "TPU v5e": 3072.0,
+    "TPU v5p": 3584.0,
+    "TPU v6 lite": 3584.0,
+    "TPU v6e": 3584.0,
+}
+
 
 def _synthetic_gl(m, n, seed=0):
     rng = np.random.default_rng(seed)
@@ -157,10 +174,14 @@ def tpu_updates_per_sec():
     # end-to-end chunk time amortizes one HBM read of both GL panels
     hbm_gbps = 2 * 4 * M * N / max(t_long - per_iter * long_, 1e-9) / 1e9
     nominal = NOMINAL_HBM_GBPS.get(device_kind)
+    vpu_flops = FLOPS_PER_UPDATE * M * N / per_iter
+    vpu_nominal = NOMINAL_VPU_F32_GFLOPS.get(device_kind)
     return {
         "value": M * N / per_iter,
         "device_kind": device_kind,
-        "vpu_flops_per_sec": FLOPS_PER_UPDATE * M * N / per_iter,
+        "vpu_flops_per_sec": vpu_flops,
+        "vpu_nominal_peak_gflops": vpu_nominal,
+        "vpu_mfu": (vpu_flops / (vpu_nominal * 1e9)) if vpu_nominal else None,
         "hbm_gbps": hbm_gbps,
         "bandwidth_frac": (hbm_gbps / nominal) if nominal else None,
     }
@@ -180,6 +201,10 @@ def main():
                 "vs_baseline": round(value / baseline_64t, 3),
                 "device_kind": tpu["device_kind"],
                 "vpu_flops_per_sec": round(tpu["vpu_flops_per_sec"], 1),
+                "vpu_nominal_peak_gflops": tpu["vpu_nominal_peak_gflops"],
+                "vpu_mfu": (
+                    round(tpu["vpu_mfu"], 3) if tpu["vpu_mfu"] else None
+                ),
                 "hbm_gbps": round(tpu["hbm_gbps"], 1),
                 "bandwidth_frac": (
                     round(tpu["bandwidth_frac"], 3)

@@ -38,3 +38,35 @@ def test_partition_golden_structure(nonbreeding, breeding):
     for p in range(4):
         expect = site_ll[p::4].sum(dtype=np.float64)
         np.testing.assert_allclose(parts[p, 0], expect, rtol=1e-5, atol=2e-3)
+
+
+def test_debug_checks_catch_malformed_gl():
+    """--debug_checks' checkify sanitizer must flag GL triples whose implied
+    g2 is negative (g0+g1 > 1) — the reachable log(<=0) the fast path would
+    silently fold into -inf sums (SURVEY §5)."""
+    import jax
+    import pytest
+    from jax.experimental.checkify import JaxRuntimeError
+
+    from wgsassign_tpu.io.beagle import BeagleData
+    from wgsassign_tpu.models.assign import assignment_loglikelihoods
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    rng = np.random.default_rng(5)
+    m, n, k = 32, 4, 2
+    raw = rng.dirichlet(np.ones(3), size=(m, n)).astype(np.float32)
+    gl = np.ascontiguousarray(raw[:, :, :2])
+    af = rng.uniform(0.1, 0.9, size=(m, k)).astype(np.float32)
+    rt = make_runtime(jax.devices()[:1], debug_checks=True)
+
+    ok = BeagleData(gl.copy(), [f"I{i}" for i in range(n)],
+                    [f"s{j}" for j in range(m)])
+    ll = assignment_loglikelihoods(ok, af, runtime=rt)
+    assert np.isfinite(ll).all()  # clean input passes the sanitizer
+
+    bad_gl = gl.copy()
+    bad_gl[3, 1] = (0.9, 0.9)  # g2 = 1 - 1.8 < 0
+    af[3, 0] = 0.9  # likelihood 0.9(1-a)^2 + 1.8a(1-a) - 0.8a^2 < 0 there
+    bad = BeagleData(bad_gl, ok.sample_names, ok.site_names)
+    with pytest.raises(JaxRuntimeError, match="non-positive assignment"):
+        assignment_loglikelihoods(bad, af, runtime=rt)

@@ -186,3 +186,69 @@ def test_beagle_non_normalized_triples(tmp_path):
         f.write("s1\t0\t1\t0.9\t0.8\t0.7\n")
     d = _read_beagle_python(str(p))
     np.testing.assert_allclose(d.gl[0, 0], [0.9, 0.8], rtol=1e-6)
+
+
+def test_beagle_fuzz_range_and_stream(tmp_path):
+    """Fuzz the windowed and streamed readers: random row windows of both
+    parsers and the native block stream must reproduce slices of the full
+    parse; the site-name scan must match the parsed names."""
+    from wgsassign_tpu._native import open_beagle_stream, read_beagle_native
+    from wgsassign_tpu.io.beagle import (
+        _read_beagle_python,
+        read_beagle,
+        scan_site_names,
+    )
+    from wgsassign_tpu.io.stream import open_block_iterator
+    from wgsassign_tpu.io.synth import write_beagle
+
+    rng = np.random.default_rng(23)
+    for trial, (m, n) in enumerate([(5, 2), (41, 7), (128, 3)]):
+        gl = rng.dirichlet(np.ones(3), size=(m, n)).astype(np.float32)[:, :, :2]
+        p = tmp_path / f"rfuzz{trial}.beagle.gz"
+        write_beagle(str(p), gl)
+        full = read_beagle(str(p))
+        assert scan_site_names(str(p)) == full.site_names
+
+        for _ in range(4):
+            lo = int(rng.integers(0, m + 1))
+            hi = int(rng.integers(lo, m + 1))
+            win_py = _read_beagle_python(str(p), row_range=(lo, hi))
+            np.testing.assert_array_equal(win_py.gl, full.gl[lo:hi])
+            assert win_py.site_names == full.site_names[lo:hi]
+            win_nat = read_beagle_native(str(p), row_range=(lo, hi))
+            if win_nat is not None:
+                np.testing.assert_array_equal(win_nat.gl, full.gl[lo:hi])
+                assert win_nat.site_names == full.site_names[lo:hi]
+
+        block_rows = int(rng.integers(1, m + 2))
+        meta, blocks = open_block_iterator(str(p), block_rows)
+        assert (meta.n_sites, meta.n_inds) == (m, n)
+        got, names = [], []
+        for gl_block, sites in blocks:
+            assert gl_block.shape[0] <= block_rows
+            got.append(gl_block)
+            names.extend(sites)
+        np.testing.assert_array_equal(np.concatenate(got), full.gl)
+        assert names == full.site_names
+
+
+def test_beagle_stream_malformed_mid_file(tmp_path):
+    """A ragged row deep in the file must surface as a parse error from the
+    native stream (not silently truncate the cohort)."""
+    import pytest
+
+    from wgsassign_tpu._native import open_beagle_stream
+
+    p = tmp_path / "ragged.beagle.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("marker\tallele1\tallele2\tInd0\tInd0\tInd0\n")
+        for i in range(10):
+            f.write(f"s{i}\t0\t1\t0.2\t0.3\t0.5\n")
+        f.write("sbad\t0\t1\t0.2\t0.3\n")  # missing a GL column
+    stream = open_beagle_stream(str(p))
+    if stream is None:
+        pytest.skip("native loader unavailable")
+    with stream:
+        with pytest.raises(ValueError, match="Malformed"):
+            while stream.next_block(4) is not None:
+                pass

@@ -128,13 +128,16 @@ parser.add_argument("--stream_ingest", metavar="ROWS", type=int, default=None,
     help="Stream the Beagle file to device in site blocks of ROWS rows "
          "(0 = auto-size ~256 MiB blocks) instead of materializing the full "
          "GL matrix on host — M is then bounded by device HBM, not host RAM. "
-         "Incompatible with analyses needing host-resident GLs "
-         "(z-scores, --loo_downsampled_beagle)")
+         "z-scores gather per-individual GL columns back from the device "
+         "cohort; only --loo_downsampled_beagle (global site intersection) "
+         "is incompatible")
 parser.add_argument("--em_checkpoint", action="store_true",
     help="Periodically checkpoint EM state next to the output prefix and "
          "resume from it (fused-kernel path)")
 parser.add_argument("--debug_checks", action="store_true",
-    help="Enable NaN debugging (jax_debug_nans) for the run")
+    help="Enable NaN debugging (jax_debug_nans) plus checkify sanitizers "
+         "on the likelihood paths (catches malformed GL triples that would "
+         "silently produce -inf log-likelihoods)")
 parser.add_argument("--log_level", metavar="LEVEL", default=None,
     help="Structured-log level for the wgsassign_tpu logger (default WARNING; "
          "also via WGSA_LOG_LEVEL)")
@@ -189,7 +192,8 @@ def main(argv=None):
             )
         devices = devices[: args.devices]
     use_pallas = True if args.use_pallas else (False if args.no_pallas else None)
-    runtime = make_runtime(devices, use_pallas=use_pallas)
+    runtime = make_runtime(devices, use_pallas=use_pallas,
+                           debug_checks=args.debug_checks)
     print(
         f"Mesh: {runtime.n_devices} device(s) on "
         f"{devices[0].platform} across {jax.process_count()} process(es); "
@@ -214,30 +218,11 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
     downsampled = None
     multi_process = jax.process_count() > 1
 
-    if multi_process and (args.get_reference_z_score or args.get_assignment_z_score):
-        raise ValueError(
-            "z-score analyses operate on the full per-individual GL/AD "
-            "columns on host and are not supported in a multi-host run; "
-            "run them single-host (use --ind_start/--ind_end to shard "
-            "individuals across jobs instead)"
-        )
-    if multi_process and args.loo_downsampled_beagle:
-        raise ValueError(
-            "--loo_downsampled_beagle needs the global site-name "
-            "intersection and is not supported in a multi-host run yet"
-        )
-
     if args.stream_ingest is not None:
         if multi_process:
             raise ValueError(
                 "--stream_ingest is single-process; multi-host runs already "
                 "bound host memory via per-process row shards"
-            )
-        if args.get_reference_z_score or args.get_assignment_z_score:
-            raise ValueError(
-                "z-score analyses need host-resident per-individual GL "
-                "columns; drop --stream_ingest (or shard individuals across "
-                "jobs with --ind_start/--ind_end)"
             )
         if args.loo_downsampled_beagle:
             raise ValueError(
@@ -266,7 +251,21 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         )
         _print_preview("sample_names", beagle.sample_names)
     elif args.beagle is not None:
-        if multi_process:
+        if multi_process and args.loo_downsampled_beagle:
+            from wgsassign_tpu.io.beagle import sharded_downsampled_pair
+
+            print("Parsing Beagle files (per-host row shards over the "
+                  "global site intersection).")
+            with timer.phase("parse"):
+                beagle, downsampled = sharded_downsampled_pair(
+                    args.beagle, args.loo_downsampled_beagle, runtime,
+                    site_multiple=args.partition_sites, n_threads=n_threads,
+                )
+            print(
+                f"Loaded {beagle.n_sites} common sites and {beagle.n_inds} "
+                f"individuals ({beagle.hi - beagle.lo} sites on this host)."
+            )
+        elif multi_process:
             from wgsassign_tpu.io.beagle import read_beagle_sharded
 
             print("Parsing Beagle file (per-host row shards).")
@@ -289,7 +288,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             _print_preview("sample_names", beagle.sample_names)
             _print_preview("site_names", beagle.site_names)
 
-    if args.loo_downsampled_beagle is not None:
+    if args.loo_downsampled_beagle is not None and not multi_process:
         print("Parsing the optional downsampled Beagle file.")
         with timer.phase("parse"):
             downsampled = read_beagle(

@@ -163,15 +163,25 @@ def _read_beagle_python(path: str, row_range=None) -> BeagleData:
         kwargs = {}
         if row_range is not None:
             lo, hi = row_range
-            kwargs = {"skiprows": lo, "nrows": max(hi - lo, 0)}
-        df = pd.read_csv(
-            f,
-            sep="\t",
-            header=None,
-            dtype={0: str},
-            na_filter=False,
-            **kwargs,
-        )
+            if hi <= lo:  # empty window (e.g. more processes than rows)
+                return BeagleData(
+                    np.empty((0, n_inds, 2), np.float32), sample_names, []
+                )
+            kwargs = {"skiprows": lo, "nrows": hi - lo}
+        try:
+            df = pd.read_csv(
+                f,
+                sep="\t",
+                header=None,
+                dtype={0: str},
+                na_filter=False,
+                **kwargs,
+            )
+        except pd.errors.EmptyDataError:
+            # a window starting at/after EOF parses as zero rows
+            return BeagleData(
+                np.empty((0, n_inds, 2), np.float32), sample_names, []
+            )
     if df.shape[1] != n_cols:
         raise ValueError(
             f"Malformed Beagle body in {path}: rows have {df.shape[1]} columns, "
@@ -238,6 +248,118 @@ def beagle_dims(path: str, use_native: bool = True):
             )
         m = sum(1 for line in f if line.strip())
     return m, (n_cols - 3) // 3
+
+
+def scan_site_names(path: str) -> List[str]:
+    """Site-name (marker) column of a Beagle file, without parsing any
+    genotype likelihoods.  One decompression pass, O(M) host strings —
+    used by the multi-host downsampled-LOO intersection, where every host
+    needs the *global* site lists of both files before cutting its filtered
+    row window."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    names: List[str] = []
+    with _open_maybe_gzip(path) as f:
+        f.readline()  # header
+        for line in f:
+            if line.strip():
+                names.append(line.split(b"\t", 1)[0].split()[0].decode())
+    return names
+
+
+def read_beagle_sharded_filtered(
+    path: str,
+    runtime,
+    keep_mask: np.ndarray,
+    site_multiple: int = 1,
+    n_threads=None,
+) -> BeagleShard:
+    """Multi-host ingest of a row-filtered Beagle file.
+
+    ``keep_mask`` is the global boolean keep mask over the file's data rows
+    (order-preserving — e.g. a site intersection from
+    :func:`scan_site_names`).  Each process computes its contiguous window
+    over the *filtered* row index, maps it back to the smallest contiguous
+    window of original rows (filtering preserves order), parses only that
+    range, and drops the masked rows locally — no host ever parses the full
+    file.
+    """
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import process_row_range
+
+    keep_mask = np.asarray(keep_mask, dtype=bool)
+    positions = np.flatnonzero(keep_mask)
+    m_filtered = int(positions.size)
+    nproc = jax.process_count()
+    mult_total = runtime.site_multiple(site_multiple)
+    if mult_total % nproc != 0:
+        raise ValueError(
+            f"site multiple {mult_total} does not divide over {nproc} processes"
+        )
+    lo, hi, per = process_row_range(m_filtered, multiple=mult_total // nproc)
+    if hi > lo:
+        orig_lo = int(positions[lo])
+        orig_hi = int(positions[hi - 1]) + 1
+        local = read_beagle(
+            path, row_range=(orig_lo, orig_hi), n_threads=n_threads
+        )
+        local = local.filter_sites(keep_mask[orig_lo:orig_hi])
+        if local.n_sites != hi - lo:
+            raise ValueError(
+                f"Filtered window mismatch in {path}: parsed "
+                f"{local.n_sites} kept rows, expected {hi - lo}"
+            )
+    else:  # this process's window is empty (more processes than rows)
+        local = read_beagle(path, row_range=(0, 0), n_threads=n_threads)
+    return BeagleShard(local=local, m_global=m_filtered, lo=lo, hi=hi,
+                       rows_per_process=per)
+
+
+def sharded_downsampled_pair(
+    beagle_path: str,
+    downsampled_path: str,
+    runtime,
+    site_multiple: int = 1,
+    n_threads=None,
+):
+    """Multi-host equivalent of the reference's downsampled-LOO site
+    intersection (WGSassign.py:176-196): every host scans both files'
+    global site-name columns, builds the order-preserving reciprocal
+    intersection, then shard-loads only its filtered row window of each
+    file.  Returns ``(beagle_shard, downsampled_shard)`` covering the
+    common sites in reference order.
+    """
+    names_full = scan_site_names(beagle_path)
+    names_ds = scan_site_names(downsampled_path)
+    ds_set = set(names_ds)
+    keep_full = np.fromiter(
+        (s in ds_set for s in names_full), dtype=bool, count=len(names_full)
+    )
+    kept = [s for s, k in zip(names_full, keep_full) if k]
+    kept_set = set(kept)
+    keep_ds = np.fromiter(
+        (s in kept_set for s in names_ds), dtype=bool, count=len(names_ds)
+    )
+    if [s for s, k in zip(names_ds, keep_ds) if k] != kept:
+        raise ValueError(
+            "Site names in full and downsampled Beagle do not match after "
+            "filtering."
+        )
+    print(f"\tRetained {len(kept)} common sites "
+          f"({len(names_full) - len(kept)} filtered from the reference, "
+          f"{len(names_ds) - len(kept)} from the downsampled set).")
+    full = read_beagle_sharded_filtered(
+        beagle_path, runtime, keep_full, site_multiple, n_threads
+    )
+    ds = read_beagle_sharded_filtered(
+        downsampled_path, runtime, keep_ds, site_multiple, n_threads
+    )
+    if full.sample_names != ds.sample_names:
+        raise ValueError(
+            "Sample names in downsampled Beagle file do not match original."
+        )
+    return full, ds
 
 
 def filter_sites_to_common(data: BeagleData, target_site_names) -> BeagleData:

@@ -43,6 +43,10 @@ def assignment_loglikelihoods(
         cohort = to_device(beagle, runtime, site_multiple=num_partitions)
     rt = cohort.runtime
     af_dev = rt.shard_sites(pad_af_to(np.asarray(af, np.float32), cohort.m_pad))
+    if rt.debug_checks:
+        from wgsassign_tpu.ops.loglik import check_loglik_inputs
+
+        check_loglik_inputs(cohort.g0, cohort.g1, af_dev, cohort.site_weight)
     if num_partitions <= 1:
         if f64_sums:
             ll = assign_loglik_f64(cohort.g0, cohort.g1, af_dev, cohort.site_weight)

@@ -66,6 +66,47 @@ def site_loglik(g0, g1, a):
     return jnp.log(like)
 
 
+def check_loglik_inputs(g0, g1, af, site_weight):
+    """Sanitizer for the reachable ``log(0)`` (SURVEY §5): malformed GL
+    triples (negative GLs, or g0+g1 > 1 making g2 negative) drive the
+    per-site likelihood to zero or below, which the fast path would fold
+    into silent ``-inf``/NaN log-likelihood sums.  Run under
+    ``--debug_checks`` before the assignment/LOO likelihood passes; raises
+    ``jax.experimental.checkify.JaxRuntimeError`` with a cell count.
+
+    The ``[M, N, K]`` predicate fuses into the count reduction, so nothing
+    cubic materializes.
+    """
+    from jax.experimental import checkify
+
+    @jax.jit
+    def bad_cells(g0, g1, af, sw):
+        a = af[:, None, :]
+        oma = 1.0 - a
+        like = (
+            g0[:, :, None] * oma * oma
+            + g1[:, :, None] * 2.0 * a * oma
+            + (1.0 - g0 - g1)[:, :, None] * a * a
+        )
+        return jnp.sum(
+            ((like <= 0.0) | jnp.isnan(like)) & (sw[:, None, None] > 0.0)
+        )
+
+    def checked(g0, g1, af, sw):
+        n = bad_cells(g0, g1, af, sw)
+        checkify.check(
+            n == 0,
+            "non-positive assignment likelihood at {n} (site, individual, "
+            "population) cells — malformed GL triples (negative GLs or "
+            "g0+g1 > 1)?",
+            n=n,
+        )
+        return n
+
+    err, _ = checkify.checkify(checked)(g0, g1, af, site_weight)
+    err.throw()
+
+
 @jax.jit
 def assign_loglik(g0, g1, af, site_weight):
     """Full ``[N, K]`` assignment log-likelihood matrix (f32 reduction).

@@ -43,6 +43,7 @@ class Runtime:
 
     mesh: Mesh
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    debug_checks: bool = False  # checkify sanitizers on the hot paths
 
     @property
     def n_devices(self) -> int:
@@ -59,18 +60,20 @@ class Runtime:
 
     def shard_sites(self, x) -> jax.Array:
         x = np.asarray(x)
-        return jax.device_put(x, self.sites_sharding(x.ndim))
+        return _put_global(x, self.sites_sharding(x.ndim))
 
     def replicate(self, x) -> jax.Array:
-        return jax.device_put(np.asarray(x), self.replicated_sharding())
+        return _put_global(np.asarray(x), self.replicated_sharding())
 
     def shard_axis(self, x, axis: int) -> jax.Array:
         """Shard an arbitrary axis (e.g. the site axis of a batched
-        ``[B, S, ...]`` block) over the SNP mesh; replicate the rest."""
+        ``[B, S, ...]`` block) over the SNP mesh; replicate the rest.
+        On a multi-process mesh the (identical-everywhere) host array is
+        placed shard-by-shard, so the helpers work from every process."""
         x = np.asarray(x)
         spec = [None] * x.ndim
         spec[axis] = SNP_AXIS
-        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+        return _put_global(x, NamedSharding(self.mesh, P(*spec)))
 
     # -- padding -----------------------------------------------------------
     def site_multiple(self, extra: int = 1) -> int:
@@ -144,6 +147,17 @@ def _probe_pallas(device) -> bool:
     return ok
 
 
+def _put_global(x: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """device_put that also works when ``sharding`` spans processes this
+    host cannot address: every process holds the full (identical) host
+    array and contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    from jax import make_array_from_callback
+
+    return make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def pad_sites(arr: np.ndarray, multiple: int, pad_value: float) -> np.ndarray:
     """Pad dim 0 up to a multiple; returns the padded array."""
     m = arr.shape[0]
@@ -161,13 +175,15 @@ def site_weight_vector(m_real: int, m_pad: int) -> np.ndarray:
 
 
 def make_runtime(
-    devices: Optional[Sequence] = None, use_pallas: Optional[bool] = None
+    devices: Optional[Sequence] = None,
+    use_pallas: Optional[bool] = None,
+    debug_checks: bool = False,
 ) -> Runtime:
     """Build a 1-D SNP-axis mesh over the given (default: all) devices."""
     if devices is None:
         devices = jax.devices()
     mesh = Mesh(np.asarray(devices), (SNP_AXIS,))
-    return Runtime(mesh=mesh, use_pallas=use_pallas)
+    return Runtime(mesh=mesh, use_pallas=use_pallas, debug_checks=debug_checks)
 
 
 def process_row_range(m_total: int, multiple: int = 1) -> tuple:
