@@ -97,3 +97,39 @@ def test_streamed_cli_zscore_matches_golden(tmp_path):
     ])
     z = np.loadtxt(str(out) + ".reference_z_ind.txt")
     np.testing.assert_allclose(z, golden["z"][:4], rtol=2e-3, atol=2e-3)
+
+
+def test_streamed_cli_downsampled_loo_matches_golden(tmp_path):
+    """--loo_downsampled_beagle under --stream_ingest: the site
+    intersection comes from a name-scan pass and both GL matrices stream
+    to device masked — outputs match the host-parsed golden (the last
+    streamed-mode carve-out, lifted)."""
+    import gzip
+
+    import numpy as np
+    import pandas as pd
+
+    from conftest import BREEDING_SUBSET_BEAGLE
+    from wgsassign_tpu.cli import main
+
+    golden = np.load(GOLDEN_DIR / "loo_downsampled.npz")
+    out = tmp_path / "run"
+    main([
+        "-o", str(out),
+        "--beagle", str(BREEDING_BEAGLE),
+        "--pop_af_IDs", str(BREEDING_IDS),
+        "--loo_downsampled_beagle", str(BREEDING_SUBSET_BEAGLE),
+        "--get_reference_af", "--loo", "--partition_sites", "4",
+        "--stream_ingest", "64",
+    ])
+    df = pd.read_csv(str(out) + ".pop_like_LOO_downsampled.tsv", sep="\t")
+    np.testing.assert_allclose(
+        df.iloc[:, 2:].to_numpy(), golden["ll"], rtol=1e-5, atol=2e-3
+    )
+    partfile = str(out) + ".pop_like_LOO_downsampled_partitions_4.tsv.gz"
+    with gzip.open(partfile, "rt") as f:
+        dfp = pd.read_csv(f, sep="\t")
+    assert len(dfp) == 85 * 4
+    np.testing.assert_allclose(
+        dfp.iloc[:, 3:].to_numpy(), golden["parts"], rtol=1e-4, atol=2e-3
+    )

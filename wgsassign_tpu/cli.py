@@ -128,9 +128,9 @@ parser.add_argument("--stream_ingest", metavar="ROWS", type=int, default=None,
     help="Stream the Beagle file to device in site blocks of ROWS rows "
          "(0 = auto-size ~256 MiB blocks) instead of materializing the full "
          "GL matrix on host — M is then bounded by device HBM, not host RAM. "
-         "z-scores gather per-individual GL columns back from the device "
-         "cohort; only --loo_downsampled_beagle (global site intersection) "
-         "is incompatible")
+         "Works with every analysis: z-scores gather per-individual GL "
+         "columns back from the device cohort, and the downsampled-LOO "
+         "site intersection streams through a site-name scan pass")
 parser.add_argument("--em_checkpoint", action="store_true",
     help="Periodically checkpoint EM state next to the output prefix and "
          "resume from it (fused-kernel path)")
@@ -216,19 +216,14 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
     beagle = None
     cohort = None
     downsampled = None
+    downsampled_cohort = None
     multi_process = jax.process_count() > 1
 
-    if args.stream_ingest is not None:
-        if multi_process:
-            raise ValueError(
-                "--stream_ingest is single-process; multi-host runs already "
-                "bound host memory via per-process row shards"
-            )
-        if args.loo_downsampled_beagle:
-            raise ValueError(
-                "--loo_downsampled_beagle needs the global site-name "
-                "intersection; drop --stream_ingest"
-            )
+    if args.stream_ingest is not None and multi_process:
+        raise ValueError(
+            "--stream_ingest is single-process; multi-host runs already "
+            "bound host memory via per-process row shards"
+        )
 
     # --threads: host parser thread cap (0 = all cores, matching the native
     # loader's default); device parallelism is the mesh, not this flag
@@ -237,6 +232,22 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
     if args.beagle is not None and args.stream_ingest is not None:
         from wgsassign_tpu.models.common import stream_to_device
 
+        keep_full = keep_ds = None
+        if args.loo_downsampled_beagle:
+            # streamed form of the reference's downsampled-LOO site
+            # intersection: one O(M)-names scan pass per file, then masked
+            # streaming — the GL matrices still never exist on host
+            from wgsassign_tpu.io.beagle import (
+                scan_site_names,
+                site_intersection_masks,
+            )
+
+            print("Scanning site names for the downsampled intersection.")
+            with timer.phase("parse"):
+                keep_full, keep_ds = site_intersection_masks(
+                    scan_site_names(args.beagle),
+                    scan_site_names(args.loo_downsampled_beagle),
+                )
         print("Streaming Beagle file to device in site blocks.")
         with timer.phase("parse"):
             cohort, beagle, _ = stream_to_device(
@@ -244,12 +255,27 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                 site_multiple=args.partition_sites,
                 block_rows=args.stream_ingest or None,
                 n_threads=n_threads,
+                keep_mask=keep_full,
             )
         print(
-            f"Loaded {beagle.n_sites} sites and {beagle.n_inds} individuals "
+            f"Loaded {cohort.m_real} sites and {beagle.n_inds} individuals "
             "(streamed; GL matrix resident on device only)."
         )
         _print_preview("sample_names", beagle.sample_names)
+        if args.loo_downsampled_beagle:
+            print("Streaming the downsampled Beagle file.")
+            with timer.phase("parse"):
+                downsampled_cohort, ds_meta, _ = stream_to_device(
+                    args.loo_downsampled_beagle, runtime,
+                    site_multiple=args.partition_sites,
+                    block_rows=args.stream_ingest or None,
+                    n_threads=n_threads,
+                    keep_mask=keep_ds,
+                )
+            if beagle.sample_names != ds_meta.sample_names:
+                raise ValueError(
+                    "Sample names in downsampled Beagle file do not match original."
+                )
     elif args.beagle is not None:
         if multi_process and args.loo_downsampled_beagle:
             from wgsassign_tpu.io.beagle import sharded_downsampled_pair
@@ -288,7 +314,8 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             _print_preview("sample_names", beagle.sample_names)
             _print_preview("site_names", beagle.site_names)
 
-    if args.loo_downsampled_beagle is not None and not multi_process:
+    if (args.loo_downsampled_beagle is not None and not multi_process
+            and args.stream_ingest is None):
         print("Parsing the optional downsampled Beagle file.")
         with timer.phase("parse"):
             downsampled = read_beagle(
@@ -372,13 +399,16 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     downsampled=downsampled,
                     num_partitions=args.partition_sites,
                     cohort=cohort,
+                    downsampled_cohort=downsampled_cohort,
                     compat_af_mutation=not args.loo_clean_af,
                     verbose=True,
                     f64_sums=not args.f32_sums,
                     checkpoint_path=(args.out + ".loo.ckpt"
                                      if args.em_checkpoint else None),
                 )
-            suffix = "_downsampled" if downsampled is not None else ""
+            suffix = ("_downsampled"
+                      if (downsampled is not None
+                          or downsampled_cohort is not None) else "")
             outfile = f"{args.out}.pop_like_LOO{suffix}.tsv"
             writers.write_assignment_matrix(
                 outfile, loo_res.ll, beagle.sample_names, list(res.pops),

@@ -267,6 +267,30 @@ def scan_site_names(path: str) -> List[str]:
     return names
 
 
+def site_intersection_masks(names_full, names_ds):
+    """Order-preserving reciprocal site intersection (the reference's
+    downsampled-LOO rule, WGSassign.py:176-196) as boolean keep masks over
+    each file's data rows.  Raises when the surviving orders disagree."""
+    ds_set = set(names_ds)
+    keep_full = np.fromiter(
+        (s in ds_set for s in names_full), dtype=bool, count=len(names_full)
+    )
+    kept = [s for s, k in zip(names_full, keep_full) if k]
+    kept_set = set(kept)
+    keep_ds = np.fromiter(
+        (s in kept_set for s in names_ds), dtype=bool, count=len(names_ds)
+    )
+    if [s for s, k in zip(names_ds, keep_ds) if k] != kept:
+        raise ValueError(
+            "Site names in full and downsampled Beagle do not match after "
+            "filtering."
+        )
+    print(f"\tRetained {len(kept)} common sites "
+          f"({len(names_full) - len(kept)} filtered from the reference, "
+          f"{len(names_ds) - len(kept)} from the downsampled set).")
+    return keep_full, keep_ds
+
+
 def read_beagle_sharded_filtered(
     path: str,
     runtime,
@@ -330,25 +354,9 @@ def sharded_downsampled_pair(
     file.  Returns ``(beagle_shard, downsampled_shard)`` covering the
     common sites in reference order.
     """
-    names_full = scan_site_names(beagle_path)
-    names_ds = scan_site_names(downsampled_path)
-    ds_set = set(names_ds)
-    keep_full = np.fromiter(
-        (s in ds_set for s in names_full), dtype=bool, count=len(names_full)
+    keep_full, keep_ds = site_intersection_masks(
+        scan_site_names(beagle_path), scan_site_names(downsampled_path)
     )
-    kept = [s for s, k in zip(names_full, keep_full) if k]
-    kept_set = set(kept)
-    keep_ds = np.fromiter(
-        (s in kept_set for s in names_ds), dtype=bool, count=len(names_ds)
-    )
-    if [s for s, k in zip(names_ds, keep_ds) if k] != kept:
-        raise ValueError(
-            "Site names in full and downsampled Beagle do not match after "
-            "filtering."
-        )
-    print(f"\tRetained {len(kept)} common sites "
-          f"({len(names_full) - len(kept)} filtered from the reference, "
-          f"{len(names_ds) - len(kept)} from the downsampled set).")
     full = read_beagle_sharded_filtered(
         beagle_path, runtime, keep_full, site_multiple, n_threads
     )

@@ -122,6 +122,7 @@ def stream_to_device(
     use_native: bool = True,
     collect_site_names: bool = False,
     n_threads: Optional[int] = None,
+    keep_mask: Optional[np.ndarray] = None,
 ):
     """Build a :class:`DeviceCohort` directly from a Beagle file in site
     blocks, without ever materializing the full ``[M, N, 2]`` matrix on the
@@ -131,6 +132,10 @@ def stream_to_device(
     into the SNP-sharded device arrays via a donated
     ``dynamic_update_slice`` (in-place on device).  Peak host memory is
     O(block); M is bounded by aggregate device HBM, not host RAM.
+
+    ``keep_mask`` (bool ``[file_rows]``) drops masked data rows on the fly
+    — the streamed form of the downsampled-LOO site intersection; the
+    cohort then covers only the kept rows, in order.
 
     Returns ``(cohort, meta, site_names)`` where ``meta`` is a
     :class:`wgsassign_tpu.io.stream.BeagleStreamMeta` and ``site_names`` is
@@ -162,7 +167,17 @@ def stream_to_device(
     meta, blocks = open_block_iterator(
         path, block_rows, use_native, n_threads=n_threads
     )
-    m_real = meta.n_sites
+    if keep_mask is not None:
+        keep_mask = np.asarray(keep_mask, dtype=bool)
+        if keep_mask.shape[0] != meta.n_sites:
+            raise ValueError(
+                f"keep_mask covers {keep_mask.shape[0]} rows, Beagle file "
+                f"{path} has {meta.n_sites}"
+            )
+        blocks = _rechunk_filtered(blocks, keep_mask, block_rows)
+        m_real = int(keep_mask.sum())
+    else:
+        m_real = meta.n_sites
     n = meta.n_inds
     m_pad = _math.ceil(max(m_real, 1) / mult) * mult
 
@@ -221,6 +236,32 @@ def stream_to_device(
         g0=g0, g1=g1, site_weight=w, m_real=m_real, runtime=runtime
     )
     return cohort, meta, site_names
+
+
+def _rechunk_filtered(blocks, keep_mask: np.ndarray, block_rows: int):
+    """Apply a row keep-mask to a Beagle block stream and re-chunk the
+    surviving rows into full ``block_rows`` blocks (+ one tail), so the
+    device-placement loop keeps its two compiled update shapes."""
+    buf_gl, buf_names, have, pos = [], [], 0, 0
+    for gl_block, names in blocks:
+        b = gl_block.shape[0]
+        sel = keep_mask[pos : pos + b]
+        pos += b
+        if sel.any():
+            buf_gl.append(gl_block[sel])
+            buf_names.append([nm for nm, k in zip(names, sel) if k])
+            have += int(sel.sum())
+        while have >= block_rows:
+            gl_cat = np.concatenate(buf_gl) if len(buf_gl) > 1 else buf_gl[0]
+            names_cat = [nm for chunk in buf_names for nm in chunk]
+            yield gl_cat[:block_rows], names_cat[:block_rows]
+            rest = gl_cat[block_rows:]
+            buf_gl = [rest] if rest.shape[0] else []
+            buf_names = [names_cat[block_rows:]] if rest.shape[0] else []
+            have -= block_rows
+    if have:
+        gl_cat = np.concatenate(buf_gl) if len(buf_gl) > 1 else buf_gl[0]
+        yield gl_cat, [nm for chunk in buf_names for nm in chunk]
 
 
 def pad_af_to(af: np.ndarray, m_pad: int) -> np.ndarray:

@@ -92,6 +92,7 @@ def leave_one_out(
     num_partitions: int = 1,
     runtime: Optional[Runtime] = None,
     cohort: Optional[DeviceCohort] = None,
+    downsampled_cohort: Optional[DeviceCohort] = None,
     compat_af_mutation: bool = True,
     verbose: bool = False,
     f64_sums: bool = True,
@@ -176,15 +177,19 @@ def leave_one_out(
     col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
 
     # --- likelihood evaluation (optionally on the downsampled GLs) ---------
-    if downsampled is not None:
+    if downsampled_cohort is not None:  # prebuilt (e.g. streamed ingest)
+        src = downsampled_cohort
+    elif downsampled is not None:
         src = to_device(downsampled, rt, site_multiple=num_partitions)
-        if src.m_pad != cohort.m_pad or src.m_real != cohort.m_real:
-            raise ValueError(
-                "Downsampled Beagle must cover the same sites as the reference "
-                "after intersection"
-            )
     else:
         src = cohort
+    if src is not cohort and (
+        src.m_pad != cohort.m_pad or src.m_real != cohort.m_real
+    ):
+        raise ValueError(
+            "Downsampled Beagle must cover the same sites as the reference "
+            "after intersection"
+        )
 
     if num_partitions <= 1:
         if f64_sums:
