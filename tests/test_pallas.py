@@ -322,8 +322,8 @@ def test_fused_loo_with_padding():
 
 def test_fused_loo_problem_tiled_large_population():
     """Populations far past the round-2 monolithic kernel's ~100-member
-    VMEM cliff must run fused (rolled problem loop, 2-D ops) and still
-    match the XLA while-loop exactly."""
+    VMEM cliff must run fused (problems-on-grid kernel, 2-D ops) and
+    still match the XLA while-loop exactly."""
     n_p, m = 72, 256
     g0p, g1p, sw = _loo_problem(m=m, n_p=n_p, seed=21)
     f_ref, iters_ref, conv_ref = em_maf_loo_group(g0p, g1p, sw, m, 60, 1e-4)

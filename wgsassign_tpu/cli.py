@@ -238,10 +238,16 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
             # intersection: one O(M)-names scan pass per file, then masked
             # streaming — the GL matrices still never exist on host
             from wgsassign_tpu.io.beagle import (
+                scan_header_samples,
                 scan_site_names,
                 site_intersection_masks,
             )
 
+            if (scan_header_samples(args.beagle)
+                    != scan_header_samples(args.loo_downsampled_beagle)):
+                raise ValueError(
+                    "Sample names in downsampled Beagle file do not match original."
+                )
             print("Scanning site names for the downsampled intersection.")
             with timer.phase("parse"):
                 keep_full, keep_ds = site_intersection_masks(
@@ -265,16 +271,12 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         if args.loo_downsampled_beagle:
             print("Streaming the downsampled Beagle file.")
             with timer.phase("parse"):
-                downsampled_cohort, ds_meta, _ = stream_to_device(
+                downsampled_cohort, _ds_meta, _ = stream_to_device(
                     args.loo_downsampled_beagle, runtime,
                     site_multiple=args.partition_sites,
                     block_rows=args.stream_ingest or None,
                     n_threads=n_threads,
                     keep_mask=keep_ds,
-                )
-            if beagle.sample_names != ds_meta.sample_names:
-                raise ValueError(
-                    "Sample names in downsampled Beagle file do not match original."
                 )
     elif args.beagle is not None:
         if multi_process and args.loo_downsampled_beagle:

@@ -250,6 +250,16 @@ def beagle_dims(path: str, use_native: bool = True):
     return m, (n_cols - 3) // 3
 
 
+def scan_header_samples(path: str) -> List[str]:
+    """Sample names from a Beagle header (one line read) — lets callers
+    fail the downsampled sample-name equality check before any heavy
+    parsing."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    with _open_maybe_gzip(path) as f:
+        return f.readline().decode().split()[3::3]
+
+
 def scan_site_names(path: str) -> List[str]:
     """Site-name (marker) column of a Beagle file, without parsing any
     genotype likelihoods.  One decompression pass, O(M) host strings —
@@ -354,6 +364,10 @@ def sharded_downsampled_pair(
     file.  Returns ``(beagle_shard, downsampled_shard)`` covering the
     common sites in reference order.
     """
+    if scan_header_samples(beagle_path) != scan_header_samples(downsampled_path):
+        raise ValueError(
+            "Sample names in downsampled Beagle file do not match original."
+        )
     keep_full, keep_ds = site_intersection_masks(
         scan_site_names(beagle_path), scan_site_names(downsampled_path)
     )
@@ -363,10 +377,6 @@ def sharded_downsampled_pair(
     ds = read_beagle_sharded_filtered(
         downsampled_path, runtime, keep_ds, site_multiple, n_threads
     )
-    if full.sample_names != ds.sample_names:
-        raise ValueError(
-            "Sample names in downsampled Beagle file do not match original."
-        )
     return full, ds
 
 
