@@ -572,3 +572,19 @@ def test_reference_zscore_pallas_path_matches_golden(breeding, breeding_ids):
         breeding, ad, breeding_ids, 0, 5, thr, False, runtime=rt
     )
     np.testing.assert_allclose(res.z, golden["z"][:5], rtol=2e-3, atol=2e-3)
+
+
+def test_fused_loo_minimum_population():
+    """n_p=2 (the smallest LOO-able population: each problem keeps one
+    member) exercises maximum member-axis padding (8 sublanes for 2 real
+    rows) and the inv = 1/(n_p-1) = 1 divisor."""
+    g0p, g1p, sw = _loo_problem(m=128, n_p=2, seed=41)
+    f_ref, iters_ref, conv_ref = em_maf_loo_group(g0p, g1p, sw, 128, 80, 1e-4)
+    f, iters, conv = em_maf_loo_group_fused(
+        g0p, g1p, 128, 80, 1e-4, chunk=8, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
+    )
