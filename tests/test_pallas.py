@@ -588,3 +588,24 @@ def test_fused_loo_minimum_population():
     np.testing.assert_allclose(
         np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
     )
+
+
+def test_fused_loo_site_block_streaming(monkeypatch):
+    """The site-blocked LOO chunk driver (HBM-peak control — whole-array
+    pallas operand copies OOM a 16 GB chip at 5M sites) must match the
+    unblocked path exactly."""
+    import wgsassign_tpu.ops.pallas_emmaf as pe
+
+    g0p, g1p, sw = _loo_problem(m=384, n_p=9, seed=51)
+    f_ref, iters_ref, conv_ref = em_maf_loo_group(g0p, g1p, sw, 384, 60, 1e-4)
+    # force 3 site blocks of 128
+    monkeypatch.setattr(pe, "_loo_stream_block",
+                        lambda m, np_pad, align: 128)
+    f, iters, conv = em_maf_loo_group_fused(
+        g0p, g1p, 384, 60, 1e-4, chunk=8, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
+    )

@@ -408,6 +408,14 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     checkpoint_path=(args.out + ".loo.ckpt"
                                      if args.em_checkpoint else None),
                 )
+            loo_secs = timer.totals["loo"]
+            sizes_of = dict(zip(popmap.pops, popmap.pop_sizes))
+            pairwise_updates = float(beagle.n_sites) * sum(
+                int(it) * int(sizes_of[lab])
+                for it, lab in zip(loo_res.iters, popmap.pop_labels)
+            )
+            print(f"LOO EM throughput: {pairwise_updates / max(loo_secs, 1e-9):.3g} "
+                  "pairwise site-member updates/s")
             suffix = ("_downsampled"
                       if (downsampled is not None
                           or downsampled_cohort is not None) else "")

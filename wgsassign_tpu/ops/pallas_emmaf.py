@@ -725,6 +725,34 @@ def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
 MAX_FUSED_LOO_MEMBERS = max_fused_loo_members()
 
 
+@functools.partial(
+    jax.jit, static_argnames=("size", "n_real", "T", "interpret")
+)
+def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real: int, T: int,
+                     interpret: bool):
+    """One site block of a fused LOO chunk: slice the member panels and AF
+    state inside jit (so only the block's layout-converted pallas copies
+    materialize — at 5M sites the whole-array copies alone OOM a 16 GB
+    chip next to the cohort and the AF bank) and run the chunk kernel on
+    the block."""
+    g0b = jax.lax.dynamic_slice_in_dim(g0p, lo, size, axis=1)
+    g1b = jax.lax.dynamic_slice_in_dim(g1p, lo, size, axis=1)
+    ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=1)
+    return loo_chunk_pallas(g0b, g1b, ftb, limits, n_real, T,
+                            interpret=interpret)
+
+
+def _loo_stream_block(m: int, np_pad: int, align: int) -> int:
+    """Site-block length for streaming a LOO chunk over HBM-peak-bounded
+    operand windows.  Tighter than the reference-AF driver's budget
+    (_BLOCK_OPERAND_BYTES/4): during the LOO phase the full cohort AND the
+    [N+K, M] AF bank are resident, so at the 5M x 180 headline shape only
+    ~2 GB of headroom exists for the per-block operand copies."""
+    b = (_BLOCK_OPERAND_BYTES // 4) // (2 * 4 * max(np_pad, 1))
+    b = max(align, (b // align) * align)
+    return min(m, b)
+
+
 def em_maf_loo_group_fused(
     g0p,
     g1p,
@@ -805,26 +833,47 @@ def em_maf_loo_group_fused(
         def put_ft(arr):
             return jax.device_put(np.ascontiguousarray(arr), ft_sharding)
 
-        chunk_fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, chunk, interpret)
+        block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
 
-        def run_chunk(ft_in, limits_arr, T):
-            if T != chunk:  # tail chunk: separate (cached) program
-                fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret)
-            else:
-                fn = chunk_fn
-            ft_new, sq = fn(g0p, g1p, ft_in, pad_limits(limits_arr))
-            return ft_new, sq[:, :n_p]
+        def run_block(lo, hi, ft_in, limits_arr, T):
+            fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret)
+            if lo == 0 and hi == m:
+                return fn(g0p, g1p, ft_in, limits_arr)
+            # static slices of sharded arrays stay shard-local (bounds are
+            # aligned to n_devices * 256)
+            return fn(g0p[:, lo:hi], g1p[:, lo:hi], ft_in[:, lo:hi],
+                      limits_arr)
 
     else:
         def put_ft(arr):
             return jnp.asarray(np.ascontiguousarray(arr))
 
-        def run_chunk(ft_in, limits_arr, T):
-            ft_new, sq = loo_chunk_pallas(
-                g0p, g1p, ft_in, pad_limits(limits_arr), n_p, T,
-                interpret=interpret,
+        block_m = _loo_stream_block(m, np_pad, 128)
+
+        def run_block(lo, hi, ft_in, limits_arr, T):
+            if lo == 0 and hi == m:
+                return loo_chunk_pallas(
+                    g0p, g1p, ft_in, limits_arr, n_p, T, interpret=interpret
+                )
+            # dynamic_slice keyed on block *size* so all full blocks share
+            # one compiled program (+1 for the tail block)
+            return _loo_chunk_block(
+                g0p, g1p, ft_in, limits_arr,
+                jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
             )
+
+    def run_chunk(ft_in, limits_arr, T):
+        limits_arr = pad_limits(limits_arr)
+        if block_m >= m:
+            ft_new, sq = run_block(0, m, ft_in, limits_arr, T)
             return ft_new, sq[:, :n_p]
+        fts, sq = [], None
+        for lo in range(0, m, block_m):
+            ftb, sqb = run_block(lo, min(lo + block_m, m), ft_in,
+                                 limits_arr, T)
+            fts.append(ftb)
+            sq = sqb if sq is None else sq + sqb
+        return jnp.concatenate(fts, axis=1), sq[:, :n_p]
 
     ft = put_ft(ft_h)
     ft, iters, active = _drive_chunks(
