@@ -313,19 +313,38 @@ def test_two_process_cli_zscore(tmp_path):
     from conftest import BREEDING_BEAGLE, BREEDING_IDS, GOLDEN_DIR
 
     golden = np.load(GOLDEN_DIR / "zscore_reference.npz")
-    pops = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)["pops"]
-    np.savetxt(tmp_path / "pops.txt", pops, fmt="%s")
+    ref_af = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)
+    np.savetxt(tmp_path / "pops.txt", ref_af["pops"], fmt="%s")
+    np.save(tmp_path / "af.npy", ref_af["af"])
     out = _run_two_process_cli(tmp_path, [
         "--beagle", BREEDING_BEAGLE,
         "--pop_af_IDs", BREEDING_IDS,
         "--pop_names", tmp_path / "pops.txt",
+        "--pop_af_file", tmp_path / "af.npy",
         "--ind_ad_file", GOLDEN_DIR / "breeding_ad.txt.gz",
         "--allele_count_threshold", int(golden["threshold"]),
-        "--get_reference_z_score",
+        "--get_reference_z_score", "--get_assignment_z_score",
         "--ind_start", 0, "--ind_end", 4,
     ], "zmulti")
     z = np.loadtxt(str(out) + ".reference_z_ind.txt")
     np.testing.assert_allclose(z, golden["z"][:4], rtol=2e-3, atol=2e-3)
+
+    # assignment mode has no committed golden for the breeding cohort:
+    # compare against an in-process single-host run
+    from wgsassign_tpu.io.ad import read_allele_depths
+    from wgsassign_tpu.io.beagle import read_beagle
+    from wgsassign_tpu.io.ids import read_ids
+    from wgsassign_tpu.models.zscore import assignment_z_scores
+
+    beagle = read_beagle(str(BREEDING_BEAGLE))
+    ad = read_allele_depths(str(GOLDEN_DIR / "breeding_ad.txt.gz"))
+    popmap = read_ids(str(BREEDING_IDS))
+    expect = assignment_z_scores(
+        beagle, ad, popmap.pop_labels, ref_af["af"], ref_af["pops"],
+        0, 4, int(golden["threshold"]), False,
+    )
+    z2 = np.loadtxt(str(out) + ".z_ind.txt")
+    np.testing.assert_allclose(z2, expect.z, rtol=2e-3, atol=2e-3)
 
 
 @pytest.mark.slow

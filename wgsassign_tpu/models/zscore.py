@@ -227,7 +227,7 @@ def _gather_gl_columns(g0, g1, idx):
     )
 
 
-def _gl_column_iter(beagle, cohort, inds, chunk: int = 32):
+def _gl_column_iter(beagle, cohort, inds, chunk: Optional[int] = None):
     """Yield ``(i, gl_i [M_real, 2])`` per individual.
 
     Host fast path when the full parse is resident (single-host
@@ -242,6 +242,9 @@ def _gl_column_iter(beagle, cohort, inds, chunk: int = 32):
     from wgsassign_tpu.parallel.mesh import fetch_to_host
 
     m_real = cohort.m_real
+    if chunk is None:
+        # ~256 MB of gathered columns per fetch, at least 1 individual
+        chunk = max(1, (1 << 28) // (8 * max(m_real, 1)))
     for lo in range(0, len(inds), chunk):
         block = list(inds[lo : lo + chunk])
         cols = _gather_gl_columns(
