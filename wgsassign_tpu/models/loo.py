@@ -128,11 +128,19 @@ def leave_one_out(
         check_loglik_inputs(
             cohort.g0, cohort.g1, af_t.T, cohort.site_weight
         )
-    # HBM peak control at production scale (5M sites x 180 inds is ~7.2 GB
-    # of GL panels + a 3.7 GB bank on a 16 GB chip): the bank buffer is
-    # donated through each per-population scatter, so updates alias instead
-    # of copying.
-    bank_t = _init_bank(n, af_t)
+    # HBM peak control at production scale: the bank buffer is donated
+    # through each per-population scatter, so updates alias instead of
+    # copying.  When the [N+K, M] bank cannot coexist with the cohort, the
+    # per-population EM states and their block copies (5M sites x 180 inds
+    # = 7.2 GB cohort + 3.7 GB bank on a 16 GB chip), finished LOO AF rows
+    # spill to host during the EM phase and the bank is assembled on
+    # device only for the likelihood pass.
+    spill = _spill_bank(rt, n, k, m_pad, int(sizes.max()))
+    if spill:
+        bank_h = np.empty((n, m_pad), dtype=np.float32)
+        bank_t = None
+    else:
+        bank_t = _init_bank(n, af_t)
     iters = np.empty(n, dtype=np.int32)
     converged = np.empty(n, dtype=bool)
     for j, pop in enumerate(popmap.pops):
@@ -147,7 +155,7 @@ def leave_one_out(
                 f_h = np.full((len(members), m_pad), PAD_AF, np.float32)
                 f_h[:, :m_real] = z["f"]
                 it_p, conv_p = z["iters"], z["converged"]
-            f_p = _shard_rows(rt, f_h)
+            f_p = f_h if spill else _shard_rows(rt, f_h)
         else:
             f_p, it_p, conv_p = _loo_group_em(
                 rt, cohort, members_d, len(members), m_real, max_iter, tol,
@@ -158,12 +166,24 @@ def leave_one_out(
                 _save_pop_done(done_path, f_p, it_p, conv_p, m_real)
         n_loo = sizes[j] - 1
         min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
-        bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
+        if spill:
+            bank_h[members] = np.clip(
+                fetch_to_host(f_p), min_val, 1.0 - min_val
+            )
+        else:
+            bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
         iters[members] = fetch_to_host(it_p)
         converged[members] = fetch_to_host(conv_p)
         if verbose:
             print(f"LOO EM for population {pop}: {len(members)} problems, "
                   f"iterations {iters[members].min()}..{iters[members].max()}")
+    if spill:
+        # EM states and panels are gone; now the bank fits next to the
+        # cohort for the likelihood pass
+        bank_t = jnp.concatenate(
+            [_shard_rows(rt, bank_h), af_t], axis=0
+        )
+        del bank_h
     if checkpoint_path:
         # LOO finished: drop the per-population restart files
         for j in range(k):
@@ -216,6 +236,42 @@ def leave_one_out(
             n * num_partitions, -1
         )
     return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)
+
+
+# Per-device HBM by device kind (GiB), used when the runtime does not
+# report memory_stats (e.g. tunneled plugin backends).  Public spec sheets.
+_HBM_GIB_BY_KIND = {
+    "TPU v4": 32, "TPU v5 lite": 16, "TPU v5e": 16, "TPU v5p": 95,
+    "TPU v6 lite": 32, "TPU v6e": 32,
+}
+
+
+def _spill_bank(rt: Runtime, n: int, k: int, m_pad: int,
+                max_pop: int) -> bool:
+    """True when the ``[N+K, M]`` AF bank should spill to host during the
+    EM phase: the estimated HBM peak — cohort + bank + the largest
+    population's member panels and chunk state + working headroom —
+    exceeds ~85% of per-device memory.  Costs one D2H+H2D round trip of
+    the LOO AF rows; without it the 5M x 180 headline shape OOMs a 16 GB
+    chip."""
+    dev = rt.mesh.devices.flat[0]
+    limit = None
+    try:
+        stats = dev.memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+    except Exception:  # noqa: BLE001 — backends may not implement it
+        limit = None
+    if not limit:
+        gib = _HBM_GIB_BY_KIND.get(getattr(dev, "device_kind", ""))
+        if gib is None:
+            return False  # unknown device (e.g. CPU test mesh): keep fast path
+        limit = gib << 30
+    per_dev_row = 4 * m_pad // max(rt.n_devices, 1)  # bytes per [M] f32 row
+    cohort_b = 2 * n * per_dev_row
+    bank_b = (n + k) * per_dev_row
+    npp = -(-max_pop // 8) * 8
+    em_state_b = 5 * npp * per_dev_row  # panels x2 + ft in/out + snapshot
+    return cohort_b + bank_b + em_state_b + (1 << 30) > 0.85 * limit
 
 
 def _loo_group_em(rt, cohort, members_d, n_p, m_real, max_iter, tol,
