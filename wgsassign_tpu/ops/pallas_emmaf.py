@@ -717,11 +717,11 @@ def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
     return fn
 
 
-# Auto-fallback bound for the fused LOO EM.  The problem-axis tiling keeps
-# the VMEM working set at [n_p, BJ, tile] (not [n_p, n_p, tile]), so the
-# bound is where even the minimum BJ=8 block no longer fits the budget —
-# ~450 members, vs ~100 for the round-2 monolithic kernel.  Populations
-# above it fall back to the XLA while-loop path in the caller.
+# Auto-fallback bound for the fused LOO EM.  The problems-on-grid kernel
+# keeps only 2-D [np_pad, tile] working sets in VMEM, so the bound is
+# where even the 128-lane floor tile no longer fits the budget — ~1000
+# members (capped), vs ~100 for the round-2 monolithic kernel.
+# Populations above it fall back to the XLA while-loop path in the caller.
 MAX_FUSED_LOO_MEMBERS = max_fused_loo_members()
 
 
