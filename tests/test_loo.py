@@ -69,24 +69,3 @@ def test_loo_small_pop_raises(breeding):
     af = np.full((449, 2), 0.5, np.float32)
     with pytest.raises(ValueError, match="requires >= 2"):
         leave_one_out(breeding, af, pm)
-
-
-def test_loo_bank_spill_path_matches(breeding, breeding_ids):
-    """The host-spilled AF-bank path (HBM-peak control at the 5M x 180
-    headline shape) must produce bit-identical results to the
-    device-resident bank path."""
-    import wgsassign_tpu.models.loo as loo_mod
-
-    af = np.load(GOLDEN_DIR / "ref_af.npz")["af"]
-    base = loo_mod.leave_one_out(breeding, af, breeding_ids, num_partitions=2)
-    orig = loo_mod._spill_bank
-    try:
-        loo_mod._spill_bank = lambda *a, **k: True
-        spilled = loo_mod.leave_one_out(
-            breeding, af, breeding_ids, num_partitions=2
-        )
-    finally:
-        loo_mod._spill_bank = orig
-    np.testing.assert_array_equal(spilled.iters, base.iters)
-    np.testing.assert_allclose(spilled.ll, base.ll, rtol=0, atol=0)
-    np.testing.assert_allclose(spilled.parts, base.parts, rtol=0, atol=0)

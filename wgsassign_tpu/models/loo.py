@@ -11,19 +11,23 @@ implementation reproduces exactly (see SURVEY §2.5), batched:
 
   * all N LOO EM problems run as K batched device computations (one per
     population, ``em_maf_loo_group``), not N serial EM re-runs;
-  * the quirky AF selection becomes a static ``[N, K]`` row-index table
-    into a bank of (N LOO + K full-data) AF vectors;
-  * all N*K log-likelihood sums run as one scanned device pass.
+  * the quirky AF selection becomes a static ``[N, K]`` row-index table —
+    and because column j of that table only ever references population
+    j's LOO rows (or the full-data column j), LL column j is evaluated
+    right after population j's EM against a ``[n_p + 1, M]`` mini-bank.
+    No ``[N + K, M]`` AF bank ever materializes: at the 5M-site x 180-ind
+    headline shape that bank (3.7 GB) next to the cohort (7.2 GB) would
+    not fit a 16 GB chip;
+  * each column's N log-likelihood sums run as one scanned device pass.
 
 Memory layout at production scale: every "few wide columns over M sites"
-array is kept **site-minor** (``[n_p, M]`` member panels, ``[N+K, M]`` AF
-bank) — TPU HBM tiling pads the minor dimension to 128 lanes, so the
-``[M, few]`` orientation would inflate several-fold.  The whole pipeline is
+array is kept **site-minor** (``[n_p, M]`` member panels and mini-banks) —
+TPU HBM tiling pads the minor dimension to 128 lanes, so the ``[M, few]``
+orientation would inflate several-fold.  The whole pipeline is
 device-resident: member panels are transposed gathers of the uploaded
-cohort, and the AF bank is assembled with one on-device scatter — the only
-host↔device traffic is the tiny ``[K, M]`` full-data AF upload and the
-``[N, K]`` result download (H2D/D2H of per-population panels would dominate
-wall-clock on PCIe/tunneled hosts).
+cohort — the only host↔device traffic is the tiny ``[K, M]`` full-data AF
+upload and the ``[N]``-per-population result downloads (H2D/D2H of
+per-population panels would dominate wall-clock on PCIe/tunneled hosts).
 
 ``compat_af_mutation=False`` gives the statistically clean variant instead:
 foreign-population likelihoods always use the full-data AF.
@@ -112,91 +116,7 @@ def leave_one_out(
             f"Leave-one-out requires >= 2 individuals per population; too small: {bad}"
         )
 
-    # --- batched LOO EM, one device computation per population -------------
-    # Everything stays device-resident: the member panels are a transposed
-    # gather of the already-uploaded cohort (no host round-trip — H2D/D2H of
-    # [n_p, M] panels dominates wall-clock on PCIe/tunneled hosts), and the
-    # AF bank (rows 0..N-1 = each individual's LOO AF, rows N..N+K-1 = the
-    # full-data AF) is assembled with one on-device scatter.
-    k = popmap.n_pops
-    af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
-    af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
-    af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
-    if rt.debug_checks:
-        from wgsassign_tpu.ops.loglik import check_loglik_inputs
-
-        check_loglik_inputs(
-            cohort.g0, cohort.g1, af_t.T, cohort.site_weight
-        )
-    # HBM peak control at production scale: the bank buffer is donated
-    # through each per-population scatter, so updates alias instead of
-    # copying.  When the [N+K, M] bank cannot coexist with the cohort, the
-    # per-population EM states and their block copies (5M sites x 180 inds
-    # = 7.2 GB cohort + 3.7 GB bank on a 16 GB chip), finished LOO AF rows
-    # spill to host during the EM phase and the bank is assembled on
-    # device only for the likelihood pass.
-    spill = _spill_bank(rt, n, k, m_pad, int(sizes.max()))
-    if spill:
-        bank_h = np.empty((n, m_pad), dtype=np.float32)
-        bank_t = None
-    else:
-        bank_t = _init_bank(n, af_t)
-    iters = np.empty(n, dtype=np.int32)
-    converged = np.empty(n, dtype=bool)
-    for j, pop in enumerate(popmap.pops):
-        members = popmap.members_of(pop)
-        members_d = rt.replicate(members)
-        done_path = (f"{checkpoint_path}.pop{j}.done.npz"
-                     if checkpoint_path else None)
-        if done_path and os.path.exists(done_path):
-            # per-population restart point: this population's LOO EM already
-            # finished in an interrupted earlier run
-            with np.load(done_path) as z:
-                f_h = np.full((len(members), m_pad), PAD_AF, np.float32)
-                f_h[:, :m_real] = z["f"]
-                it_p, conv_p = z["iters"], z["converged"]
-            f_p = f_h if spill else _shard_rows(rt, f_h)
-        else:
-            f_p, it_p, conv_p = _loo_group_em(
-                rt, cohort, members_d, len(members), m_real, max_iter, tol,
-                chunk_ckpt_path=(f"{checkpoint_path}.pop{j}.npz"
-                                 if checkpoint_path else None),
-            )
-            if done_path:
-                _save_pop_done(done_path, f_p, it_p, conv_p, m_real)
-        n_loo = sizes[j] - 1
-        min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
-        if spill:
-            bank_h[members] = np.clip(
-                fetch_to_host(f_p), min_val, 1.0 - min_val
-            )
-        else:
-            bank_t = _bank_scatter(bank_t, members_d, f_p, min_val)
-        iters[members] = fetch_to_host(it_p)
-        converged[members] = fetch_to_host(conv_p)
-        if verbose:
-            print(f"LOO EM for population {pop}: {len(members)} problems, "
-                  f"iterations {iters[members].min()}..{iters[members].max()}")
-    if spill:
-        # EM states and panels are gone; now the bank fits next to the
-        # cohort for the likelihood pass
-        bank_t = jnp.concatenate(
-            [_shard_rows(rt, bank_h), af_t], axis=0
-        )
-        del bank_h
-    if checkpoint_path:
-        # LOO finished: drop the per-population restart files
-        for j in range(k):
-            for p in (f"{checkpoint_path}.pop{j}.done.npz",
-                      f"{checkpoint_path}.pop{j}.npz"):
-                if os.path.exists(p):
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass  # another process on a shared filesystem won
-    col_idx = rt.replicate(loo_af_column_index(popmap, compat_af_mutation))
-
-    # --- likelihood evaluation (optionally on the downsampled GLs) ---------
+    # --- source cohort for the likelihood pass (optionally downsampled) ----
     if downsampled_cohort is not None:  # prebuilt (e.g. streamed ingest)
         src = downsampled_cohort
     elif downsampled is not None:
@@ -211,67 +131,124 @@ def leave_one_out(
             "after intersection"
         )
 
-    if num_partitions <= 1:
-        if f64_sums:
-            ll = assign_loglik_selected_f64(
-                src.g0, src.g1, bank_t, col_idx, src.site_weight
-            )
-        else:
-            ll = assign_loglik_selected(
-                src.g0, src.g1, bank_t, col_idx, src.site_weight
-            )
-        ll = fetch_to_host(ll).astype(np.float32)
-        parts = ll.reshape(n * 1, -1)
-    else:
-        if f64_sums:
-            ll_d, parts_d = assign_loglik_selected_partitioned_f64(
-                src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
-            )
-        else:
-            ll_d, parts_d = assign_loglik_selected_partitioned(
-                src.g0, src.g1, bank_t, col_idx, src.site_weight, num_partitions
-            )
-        ll = fetch_to_host(ll_d).astype(np.float32)
-        parts = fetch_to_host(parts_d).astype(np.float32).reshape(
-            n * num_partitions, -1
+    # --- batched LOO EM + per-population likelihood columns ----------------
+    # Everything stays device-resident: the member panels are a transposed
+    # gather of the already-uploaded cohort (no host round-trip — H2D/D2H
+    # of [n_p, M] panels dominates wall-clock on PCIe/tunneled hosts).
+    # KEY memory property: with the in-place-AF quirk expressed as an index
+    # table, LL column j depends only on population j's LOO AF rows plus
+    # the full-data column j — so each population's likelihood column is
+    # evaluated right after its EM against a tiny [n_p + 1, M] mini-bank.
+    # No [N + K, M] bank ever materializes (at 5M sites x 180 individuals
+    # that bank was 3.7 GB next to a 7.2 GB cohort — past a 16 GB chip).
+    k = popmap.n_pops
+    af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
+    af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
+    af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
+    if rt.debug_checks:
+        from wgsassign_tpu.ops.loglik import check_loglik_inputs
+
+        check_loglik_inputs(
+            cohort.g0, cohort.g1, af_t.T, cohort.site_weight
         )
-    return LooResult(ll=ll, parts=parts, iters=iters, converged=converged)
+    col_idx_global = loo_af_column_index(popmap, compat_af_mutation)
+    iters = np.empty(n, dtype=np.int32)
+    converged = np.empty(n, dtype=bool)
+    p_count = max(num_partitions, 1)
+    ll = np.empty((n, k), dtype=np.float64)
+    parts_nk = np.empty((n, p_count, k), dtype=np.float64)
+    for j, pop in enumerate(popmap.pops):
+        members = popmap.members_of(pop)
+        members_d = rt.replicate(members)
+        done_path = (f"{checkpoint_path}.pop{j}.done.npz"
+                     if checkpoint_path else None)
+        if done_path and os.path.exists(done_path):
+            # per-population restart point: this population's LOO EM already
+            # finished in an interrupted earlier run
+            with np.load(done_path) as z:
+                f_h = np.full((len(members), m_pad), PAD_AF, np.float32)
+                f_h[:, :m_real] = z["f"]
+                it_p, conv_p = z["iters"], z["converged"]
+            f_p = _shard_rows(rt, f_h)
+        else:
+            f_p, it_p, conv_p = _loo_group_em(
+                rt, cohort, members_d, len(members), m_real, max_iter, tol,
+                chunk_ckpt_path=(f"{checkpoint_path}.pop{j}.npz"
+                                 if checkpoint_path else None),
+            )
+            if done_path:
+                _save_pop_done(done_path, f_p, it_p, conv_p, m_real)
+        n_loo = sizes[j] - 1
+        min_val = np.float32(1.0 / (2.0 * (n_loo + 1.0)))
+        # mini-bank for LL column j: this population's clamped LOO rows
+        # plus the full-data column (row n_p) for individuals no j-member
+        # precedes
+        mini_bank = _mini_bank(f_p, af_t, j, min_val)
+        # map the global AF row selection to mini-bank rows: member index
+        # -> its position; the full-data sentinel (n + j) sorts past every
+        # member and lands on row n_p
+        col_j = np.searchsorted(
+            members, col_idx_global[:, j]
+        ).astype(np.int32).reshape(n, 1)
+        col_j_d = rt.replicate(col_j)
+        if num_partitions <= 1:
+            if f64_sums:
+                ll_j = assign_loglik_selected_f64(
+                    src.g0, src.g1, mini_bank, col_j_d, src.site_weight
+                )
+            else:
+                ll_j = fetch_to_host(assign_loglik_selected(
+                    src.g0, src.g1, mini_bank, col_j_d, src.site_weight
+                ))
+            ll[:, j] = np.asarray(ll_j)[:, 0]
+            parts_nk[:, 0, j] = ll[:, j]
+        else:
+            if f64_sums:
+                ll_j, parts_j = assign_loglik_selected_partitioned_f64(
+                    src.g0, src.g1, mini_bank, col_j_d, src.site_weight,
+                    num_partitions,
+                )
+            else:
+                ll_jd, parts_jd = assign_loglik_selected_partitioned(
+                    src.g0, src.g1, mini_bank, col_j_d, src.site_weight,
+                    num_partitions,
+                )
+                ll_j = fetch_to_host(ll_jd)
+                parts_j = fetch_to_host(parts_jd)
+            ll[:, j] = np.asarray(ll_j)[:, 0]
+            parts_nk[:, :, j] = np.asarray(parts_j)[:, :, 0]
+        iters[members] = fetch_to_host(it_p)
+        converged[members] = fetch_to_host(conv_p)
+        if verbose:
+            print(f"LOO EM for population {pop}: {len(members)} problems, "
+                  f"iterations {iters[members].min()}..{iters[members].max()}")
+    if checkpoint_path:
+        # LOO finished: drop the per-population restart files
+        for j in range(k):
+            for p in (f"{checkpoint_path}.pop{j}.done.npz",
+                      f"{checkpoint_path}.pop{j}.npz"):
+                if os.path.exists(p):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass  # another process on a shared filesystem won
+
+    return LooResult(
+        ll=ll.astype(np.float32),
+        parts=parts_nk.astype(np.float32).reshape(n * p_count, k),
+        iters=iters,
+        converged=converged,
+    )
 
 
-# Per-device HBM by device kind (GiB), used when the runtime does not
-# report memory_stats (e.g. tunneled plugin backends).  Public spec sheets.
-_HBM_GIB_BY_KIND = {
-    "TPU v4": 32, "TPU v5 lite": 16, "TPU v5e": 16, "TPU v5p": 95,
-    "TPU v6 lite": 32, "TPU v6e": 32,
-}
-
-
-def _spill_bank(rt: Runtime, n: int, k: int, m_pad: int,
-                max_pop: int) -> bool:
-    """True when the ``[N+K, M]`` AF bank should spill to host during the
-    EM phase: the estimated HBM peak — cohort + bank + the largest
-    population's member panels and chunk state + working headroom —
-    exceeds ~85% of per-device memory.  Costs one D2H+H2D round trip of
-    the LOO AF rows; without it the 5M x 180 headline shape OOMs a 16 GB
-    chip."""
-    dev = rt.mesh.devices.flat[0]
-    limit = None
-    try:
-        stats = dev.memory_stats()
-        limit = (stats or {}).get("bytes_limit")
-    except Exception:  # noqa: BLE001 — backends may not implement it
-        limit = None
-    if not limit:
-        gib = _HBM_GIB_BY_KIND.get(getattr(dev, "device_kind", ""))
-        if gib is None:
-            return False  # unknown device (e.g. CPU test mesh): keep fast path
-        limit = gib << 30
-    per_dev_row = 4 * m_pad // max(rt.n_devices, 1)  # bytes per [M] f32 row
-    cohort_b = 2 * n * per_dev_row
-    bank_b = (n + k) * per_dev_row
-    npp = -(-max_pop // 8) * 8
-    em_state_b = 5 * npp * per_dev_row  # panels x2 + ft in/out + snapshot
-    return cohort_b + bank_b + em_state_b + (1 << 30) > 0.85 * limit
+@jax.jit
+def _mini_bank(f_p, af_t, j, min_val):
+    """``[n_p + 1, M]`` likelihood bank for one population: its clamped LOO
+    AF rows followed by the full-data AF column ``j``."""
+    full_row = jax.lax.dynamic_slice_in_dim(af_t, j, 1, axis=0)
+    return jnp.concatenate(
+        [jnp.clip(f_p, min_val, 1.0 - min_val), full_row], axis=0
+    )
 
 
 def _loo_group_em(rt, cohort, members_d, n_p, m_real, max_iter, tol,
@@ -330,22 +307,6 @@ def _member_panels(g0, g1, members):
     ``[M, N] -> [n_p, M]`` (site-minor).  Padded cohort rows already hold the
     (PAD_G0, PAD_G1) GL pattern the LOO EM pins to its fixed point."""
     return jnp.take(g0, members, axis=1).T, jnp.take(g1, members, axis=1).T
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def _init_bank(n: int, af_t):
-    """``[N + K, M]`` AF bank: rows 0..N-1 to be filled with LOO AFs, rows
-    N.. hold the full-data AF."""
-    return jnp.concatenate(
-        [jnp.zeros((n, af_t.shape[1]), af_t.dtype), af_t], axis=0
-    )
-
-
-@functools.partial(jax.jit, donate_argnums=0)
-def _bank_scatter(bank, members, f_p, min_val):
-    """Clamp one population's LOO AF rows and scatter them into the (donated,
-    so updated in place) bank."""
-    return bank.at[members].set(jnp.clip(f_p, min_val, 1.0 - min_val))
 
 
 def _shard_rows(rt: Runtime, arr: np.ndarray):
