@@ -66,8 +66,11 @@ class LooResult:
 
 
 def loo_af_column_index(popmap: PopulationMap, compat_af_mutation: bool) -> np.ndarray:
-    """Row index into the AF bank ``[loo_0..loo_{N-1}, full_0..full_{K-1}]``
-    used for pair (individual i, population j)."""
+    """Abstract AF row selection ``[loo_0..loo_{N-1}, full_0..full_{K-1}]``
+    used for pair (individual i, population j).  Column j only ever selects
+    population j's LOO rows or the full-data sentinel ``n + j`` — the
+    property ``leave_one_out`` exploits to evaluate each column against a
+    per-population mini-bank (``searchsorted`` remaps the values)."""
     n, k = popmap.n_inds, popmap.n_pops
     col_idx = np.empty((n, k), dtype=np.int32)
     all_inds = np.arange(n)
