@@ -159,3 +159,40 @@ def test_beagle_dims():
 
     assert beagle_dims(str(BREEDING_BEAGLE)) == (449, 85)
     assert beagle_dims(str(BREEDING_BEAGLE), use_native=False) == (449, 85)
+
+
+def test_disjoint_site_intersection_raises():
+    from wgsassign_tpu.io.beagle import site_intersection_masks
+
+    with pytest.raises(ValueError, match="No common sites"):
+        site_intersection_masks(["a_1", "a_2"], ["b_1", "b_2"])
+
+
+def test_read_pop_names_single_row(tmp_path):
+    from wgsassign_tpu.io.ids import read_pop_names
+
+    p = tmp_path / "one.pop_names.txt"
+    p.write_text("OnlyPop\n")
+    names = read_pop_names(str(p))
+    assert names.shape == (1,)
+    assert names[0] == "OnlyPop"
+    p2 = tmp_path / "many.pop_names.txt"
+    p2.write_text("A\nB\nC\n")
+    assert read_pop_names(str(p2)).tolist() == ["A", "B", "C"]
+
+
+def test_allele_depth_dim_validation(tmp_path):
+    from wgsassign_tpu.io.ad import read_allele_depths
+
+    p = tmp_path / "ad.txt"
+    np.savetxt(p, np.ones((5, 6), dtype=np.int32), fmt="%d")
+    ad = read_allele_depths(str(p), n_sites=5, n_inds=3)
+    assert ad.shape == (5, 6)
+    with pytest.raises(ValueError, match="has 5 rows"):
+        read_allele_depths(str(p), n_sites=7, n_inds=3)
+    with pytest.raises(ValueError, match="covers 3 individuals"):
+        read_allele_depths(str(p), n_sites=5, n_inds=4)
+    odd = tmp_path / "odd.txt"
+    np.savetxt(odd, np.ones((2, 5), dtype=np.int32), fmt="%d")
+    with pytest.raises(ValueError, match="2 columns per individual"):
+        read_allele_depths(str(odd))

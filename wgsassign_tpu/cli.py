@@ -19,7 +19,9 @@ Behavioral deviations from the reference, all documented:
     writes ``.mcmc_mix.txt`` (the reference would have clobbered
     ``.em_mix.txt``, WGSassign.py:470);
   * ``--threads`` is accepted for compatibility and controls host-side
-    parser threads only — device parallelism comes from the mesh.
+    parser threads only — device parallelism comes from the mesh.  Its
+    default is 0 (all cores) rather than the reference's 1, because here it
+    only governs ingest bandwidth, not compute.
 """
 
 from __future__ import annotations
@@ -33,9 +35,9 @@ from wgsassign_tpu.version import __version__
 parser = argparse.ArgumentParser(prog="WGSassign")
 parser.add_argument("-b", "--beagle", metavar="FILE",
     help="Filepath to genotype likelihoods in gzipped Beagle format from ANGSD")
-parser.add_argument("-t", "--threads", metavar="INT", type=int, default=1,
-    help="Number of host threads for the Beagle parser (0 = all cores); "
-         "device parallelism uses the mesh")
+parser.add_argument("-t", "--threads", metavar="INT", type=int, default=0,
+    help="Number of host threads for the Beagle parser (default 0 = all "
+         "cores); device parallelism uses the mesh")
 parser.add_argument("-o", "--out", metavar="OUTPUT", default="wgsassign",
     help="Prefix for output files")
 parser.add_argument("--maf_iter", metavar="INT", type=int, default=200,
@@ -171,6 +173,9 @@ def main(argv=None):
 
     setup_logging(args.log_level)
     maybe_initialize_distributed()
+    from wgsassign_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     if jax.process_count() > 1 and jax.process_index() != 0:
@@ -410,7 +415,11 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                 )
             loo_secs = timer.totals["loo"]
             sizes_of = dict(zip(popmap.pops, popmap.pop_sizes))
-            pairwise_updates = float(beagle.n_sites) * sum(
+            # under --stream_ingest with a downsampled filter the EM ran on
+            # the intersected site count (cohort.m_real), not the raw file
+            # row count
+            loo_m = cohort.m_real if cohort is not None else beagle.n_sites
+            pairwise_updates = float(loo_m) * sum(
                 int(it) * int(sizes_of[lab])
                 for it, lab in zip(loo_res.iters, popmap.pop_labels)
             )
@@ -462,9 +471,14 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         popmap = read_ids(args.pop_af_IDs)
         print("Parsing individual allele depths file.")
         assert os.path.isfile(args.ind_ad_file), "Individual allele depths file does not exist!"
-        ad = read_allele_depths(args.ind_ad_file)
+        z_m = cohort.m_real if cohort is not None else beagle.n_sites
+        ad = read_allele_depths(
+            args.ind_ad_file, n_sites=z_m, n_inds=beagle.n_inds
+        )
         assert os.path.isfile(args.pop_names), "Population names file does not exist!!"
-        pops = np.loadtxt(args.pop_names, dtype="str")
+        from wgsassign_tpu.io.ids import read_pop_names
+
+        pops = read_pop_names(args.pop_names)
         n = beagle.n_inds
         assert n == popmap.n_inds, \
             "Number of individuals in beagle and reference ID file do not match!"

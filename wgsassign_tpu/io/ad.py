@@ -16,13 +16,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def read_allele_depths(path: str) -> np.ndarray:
+def read_allele_depths(path: str, n_sites: int | None = None,
+                       n_inds: int | None = None) -> np.ndarray:
+    """Load an ``[M, 2N]`` allele-depth matrix.
+
+    ``n_sites``/``n_inds`` (when given) are validated against the Beagle
+    dimensions at parse time — a mismatched AD file otherwise fails deep in
+    the z pipeline, or silently mis-aligns rows after a downsampled-LOO
+    site filter (the reference is equally lax, WGSassign.py:320)."""
     ad = np.loadtxt(path, dtype=np.int32)
     if ad.ndim == 1:
         ad = ad.reshape(1, -1)
     if ad.shape[1] % 2 != 0:
         raise ValueError(
             f"Allele-depth file {path} must have 2 columns per individual"
+        )
+    if n_inds is not None and ad.shape[1] != 2 * n_inds:
+        raise ValueError(
+            f"Allele-depth file {path} covers {ad.shape[1] // 2} "
+            f"individuals, but the Beagle file has {n_inds}"
+        )
+    if n_sites is not None and ad.shape[0] != n_sites:
+        raise ValueError(
+            f"Allele-depth file {path} has {ad.shape[0]} rows, but the "
+            f"analysis covers {n_sites} sites — the AD matrix must align "
+            "row-for-row with the Beagle sites in use (note: a "
+            "downsampled-LOO run filters the site set; z-scores need an AD "
+            "file over the same filtered sites)"
         )
     return ad
 

@@ -286,6 +286,11 @@ def site_intersection_masks(names_full, names_ds):
         (s in ds_set for s in names_full), dtype=bool, count=len(names_full)
     )
     kept = [s for s, k in zip(names_full, keep_full) if k]
+    if not kept:
+        raise ValueError(
+            "No common sites between the reference and downsampled Beagle "
+            "files — the site-name columns are disjoint."
+        )
     kept_set = set(kept)
     keep_ds = np.fromiter(
         (s in kept_set for s in names_ds), dtype=bool, count=len(names_ds)

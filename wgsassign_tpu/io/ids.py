@@ -65,6 +65,15 @@ def population_map(sample_names, pop_labels) -> PopulationMap:
     return PopulationMap(sample_names, pop_labels, pops, pop_index, membership)
 
 
+def read_pop_names(path: str) -> np.ndarray:
+    """Load a one-column population-names file (the ``.pop_names.txt``
+    output) as a 1-D string array.  A single-name file parses as a 0-d
+    array under bare ``np.loadtxt`` and breaks downstream indexing (the
+    reference shares the bug, WGSassign.py:322); ``atleast_1d`` restores
+    the row."""
+    return np.atleast_1d(np.loadtxt(path, dtype=str))
+
+
 def read_ids(path: str) -> PopulationMap:
     """Load a two-column tab-delimited ID file."""
     ids = np.loadtxt(path, delimiter="\t", dtype=str)

@@ -746,8 +746,10 @@ def _loo_stream_block(m: int, np_pad: int, align: int) -> int:
     """Site-block length for streaming a LOO chunk over HBM-peak-bounded
     operand windows.  Tighter than the reference-AF driver's budget
     (_BLOCK_OPERAND_BYTES/4): during the LOO phase the full cohort AND the
-    [N+K, M] AF bank are resident, so at the 5M x 180 headline shape only
-    ~2 GB of headroom exists for the per-block operand copies."""
+    current population's ``[n_p + 1, M]`` AF mini-bank (the per-population
+    LOO state plus its full-data column, models/loo.py) are resident, so at
+    the 5M x 180 headline shape only a few GB of headroom exists for the
+    per-block operand copies."""
     b = (_BLOCK_OPERAND_BYTES // 4) // (2 * 4 * max(np_pad, 1))
     b = max(align, (b // align) * align)
     return min(m, b)

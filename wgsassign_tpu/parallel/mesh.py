@@ -240,6 +240,33 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def enable_compilation_cache() -> Optional[str]:
+    """Point JAX's persistent compilation cache at a per-user directory so
+    per-shape compiles (and the one-time Mosaic backend init) are paid once
+    per machine, not once per process.  Without this, cold-start of the
+    5M-site headline run re-compiles every program in each fresh process.
+
+    Directory: ``$WGSA_COMPILE_CACHE``, defaulting to
+    ``~/.cache/wgsassign_tpu/jax_cache``; set ``WGSA_COMPILE_CACHE=off`` to
+    disable.  Returns the directory in use (None when disabled)."""
+    path = os.environ.get("WGSA_COMPILE_CACHE", "")
+    if path.lower() in ("off", "0", "none"):
+        return None
+    if not path:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "wgsassign_tpu", "jax_cache"
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: the tunneled-TPU RTT makes every
+        # recompile user-visible, and entries are tiny
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        return None
+    return path
+
+
 def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed when launched under a multi-host
     coordinator (env-var driven; no-op for single-process runs)."""
