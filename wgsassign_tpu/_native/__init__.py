@@ -78,6 +78,8 @@ def _get_lib():
         lib.beagle_stream_header.argtypes = [ctypes.c_void_p]
         lib.beagle_stream_next.restype = ctypes.POINTER(_BeagleResult)
         lib.beagle_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.beagle_stream_skip.restype = ctypes.c_int64
+        lib.beagle_stream_skip.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.beagle_stream_close.restype = None
         lib.beagle_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -179,6 +181,15 @@ class NativeBeagleStream:
         if len(sites) != m:
             raise ValueError("Malformed Beagle file: site/shape mismatch")
         return gl, sites
+
+    def skip_rows(self, n_rows: int) -> int:
+        """Skip the next ``n_rows`` data rows without tokenizing floats
+        (decompression + line counting only).  Returns rows actually
+        skipped — fewer than requested only at EOF."""
+        got = self._lib.beagle_stream_skip(self._handle, int(n_rows))
+        if got < 0:
+            raise ValueError("Malformed Beagle file: gzip stream error")
+        return int(got)
 
     def close(self):
         if self._handle:

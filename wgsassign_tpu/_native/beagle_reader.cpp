@@ -583,6 +583,82 @@ BeagleResult* beagle_stream_next(BeagleStreamHandle* s, int64_t max_rows) {
   return out;
 }
 
+// Skip the next `n_rows` data rows of the stream without tokenizing any
+// floats (decompression + line counting only) — the cheap window cut for
+// per-process streamed ingest: each process skips to its own row window,
+// then reads blocks.  Returns rows actually skipped (< n_rows only at
+// EOF), or -1 on a stream error.
+int64_t beagle_stream_skip(BeagleStreamHandle* s, int64_t n_rows) {
+  if (!s->error.empty()) return -1;
+  if (n_rows <= 0) return 0;
+  int64_t remaining = n_rows;
+
+  // Count a newline-terminated text block against the skip budget; when
+  // the block holds more data rows than the budget, split after exactly
+  // `remaining` rows and stash the tail for the next read call.
+  auto consume_skip = [&](std::string text) {
+    int64_t lines = count_data_lines(text.data(), text.data() + text.size());
+    if (lines <= remaining) {
+      remaining -= lines;
+      return;
+    }
+    const char* base = text.data();
+    const char* p = base;
+    const char* end = base + text.size();
+    int64_t need = remaining;
+    while (p < end && need > 0) {
+      const char* le = static_cast<const char*>(memchr(p, '\n', end - p));
+      if (!le) le = end;
+      for (const char* q = p; q < le; ++q) {
+        if (*q != ' ' && *q != '\t' && *q != '\r') {
+          --need;
+          break;
+        }
+      }
+      p = (le < end) ? le + 1 : end;
+    }
+    s->pending = text.substr(static_cast<size_t>(p - base));
+    s->pending_rows = lines - remaining;
+    remaining = 0;
+  };
+
+  if (!s->pending.empty()) {
+    std::string text = std::move(s->pending);
+    s->pending.clear();
+    s->pending_rows = 0;
+    consume_skip(std::move(text));
+  }
+  std::vector<char> buf(kChunkSize);
+  while (remaining > 0 && !s->eof) {
+    int got = gzread(s->f, buf.data(), buf.size());
+    if (got < 0) {
+      s->error = "gzip stream error";
+      return -1;
+    }
+    if (got == 0) {
+      s->eof = true;
+      if (!s->carry.empty()) {
+        s->carry.push_back('\n');
+        std::string text = std::move(s->carry);
+        s->carry.clear();
+        consume_skip(std::move(text));
+      }
+      break;
+    }
+    std::string text = std::move(s->carry);
+    text.append(buf.data(), got);
+    size_t last_nl = text.find_last_of('\n');
+    if (last_nl == std::string::npos) {
+      s->carry = std::move(text);
+      continue;
+    }
+    s->carry = text.substr(last_nl + 1);
+    text.resize(last_nl + 1);
+    consume_skip(std::move(text));
+  }
+  return n_rows - remaining;
+}
+
 void beagle_stream_close(BeagleStreamHandle* s) {
   if (!s) return;
   if (s->f) gzclose(s->f);

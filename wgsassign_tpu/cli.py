@@ -132,7 +132,9 @@ parser.add_argument("--stream_ingest", metavar="ROWS", type=int, default=None,
          "GL matrix on host — M is then bounded by device HBM, not host RAM. "
          "Works with every analysis: z-scores gather per-individual GL "
          "columns back from the device cohort, and the downsampled-LOO "
-         "site intersection streams through a site-name scan pass")
+         "site intersection streams through a site-name scan pass. "
+         "Composes with multi-host runs: each process streams only its own "
+         "row window into its local devices")
 parser.add_argument("--em_checkpoint", action="store_true",
     help="Periodically checkpoint EM state next to the output prefix and "
          "resume from it (fused-kernel path)")
@@ -223,12 +225,6 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
     downsampled = None
     downsampled_cohort = None
     multi_process = jax.process_count() > 1
-
-    if args.stream_ingest is not None and multi_process:
-        raise ValueError(
-            "--stream_ingest is single-process; multi-host runs already "
-            "bound host memory via per-process row shards"
-        )
 
     # --threads: host parser thread cap (0 = all cores, matching the native
     # loader's default); device parallelism is the mesh, not this flag

@@ -50,11 +50,16 @@ class BeagleStreamMeta:
         )
 
 
-def _iter_blocks_python(path: str, block_rows: int) -> Iterator[Block]:
+def _iter_blocks_python(path: str, block_rows: int,
+                        row_range=None) -> Iterator[Block]:
     import pandas as pd
 
     from wgsassign_tpu.io.beagle import _open_maybe_gzip
 
+    lo, hi = (0, None) if row_range is None else row_range
+    budget = None if hi is None else hi - lo
+    if budget is not None and budget <= 0:
+        return
     with _open_maybe_gzip(path) as f:
         header = f.readline().decode()
         tokens = header.split()
@@ -68,35 +73,60 @@ def _iter_blocks_python(path: str, block_rows: int) -> Iterator[Block]:
         # dtype=object for the marker column: pandas' pyarrow-backed
         # string arrays are not safe to construct off the main thread
         # (segfaults under the prefetch worker); plain object strings are.
-        reader = pd.read_csv(
-            f, sep="\t", header=None, dtype={0: object}, na_filter=False,
-            chunksize=block_rows,
-        )
-        for df in reader:
+        try:
+            reader = pd.read_csv(
+                f, sep="\t", header=None, dtype={0: object}, na_filter=False,
+                chunksize=block_rows, skiprows=lo,
+            )
+            chunks = iter(reader)
+        except pd.errors.EmptyDataError:  # window starts at/after EOF
+            return
+        for df in chunks:
             if df.shape[1] != n_cols:
                 raise ValueError(
                     f"Malformed Beagle body in {path}: rows have "
                     f"{df.shape[1]} columns, header has {n_cols}"
                 )
+            if budget is not None and df.shape[0] > budget:
+                df = df.iloc[:budget]
             sites = df.iloc[:, 0].tolist()
             body = df.iloc[:, 3:].to_numpy(dtype=np.float32)
             gl3 = body.reshape(body.shape[0], n_inds, 3)
             yield np.ascontiguousarray(gl3[:, :, :2]), sites
+            if budget is not None:
+                budget -= df.shape[0]
+                if budget <= 0:
+                    return
 
 
-def _iter_blocks_native(stream, block_rows: int) -> Iterator[Block]:
+def _iter_blocks_native(stream, block_rows: int,
+                        row_range=None) -> Iterator[Block]:
     try:
+        budget = None
+        if row_range is not None:
+            lo, hi = row_range
+            budget = hi - lo
+            if budget <= 0:
+                return
+            if lo and stream.skip_rows(lo) < lo:
+                return  # window starts at/after EOF
         while True:
-            block = stream.next_block(block_rows)
+            want = block_rows if budget is None else min(block_rows, budget)
+            block = stream.next_block(want)
             if block is None:
                 return
             yield block
+            if budget is not None:
+                budget -= block[0].shape[0]
+                if budget <= 0:
+                    return
     finally:
         stream.close()
 
 
 def open_block_iterator(
-    path: str, block_rows: int, use_native: bool = True, n_threads=None
+    path: str, block_rows: int, use_native: bool = True, n_threads=None,
+    row_range=None, dims=None,
 ) -> Tuple[BeagleStreamMeta, Iterator[Block]]:
     """Dimension scan + sequential block iterator over a Beagle file.
 
@@ -104,10 +134,14 @@ def open_block_iterator(
     from the dims scan and header) and a generator of
     ``(gl [b, N, 2], site_names)`` blocks, each with ``b <= block_rows``.
     ``n_threads`` caps the native tokenizer's thread pool (None = all cores).
+    ``row_range=(lo, hi)`` yields only data rows lo..hi-1 (the per-process
+    window of a multi-host streamed ingest; skipped rows are decompressed
+    and line-counted but never float-tokenized).  ``dims`` provides a
+    pre-computed ``(m, n)`` to skip the dimensions scan.
     """
     from wgsassign_tpu.io.beagle import beagle_dims
 
-    m, n = beagle_dims(path, use_native=use_native)
+    m, n = beagle_dims(path, use_native=use_native) if dims is None else dims
     sample_names = None
     it: Optional[Iterator[Block]] = None
     if use_native:
@@ -117,7 +151,7 @@ def open_block_iterator(
             stream = open_beagle_stream(path, n_threads=n_threads)
             if stream is not None:
                 sample_names = stream.sample_names
-                it = _iter_blocks_native(stream, block_rows)
+                it = _iter_blocks_native(stream, block_rows, row_range)
         except ImportError:
             pass
     if it is None:
@@ -125,7 +159,7 @@ def open_block_iterator(
 
         with _open_maybe_gzip(path) as f:
             sample_names = f.readline().decode().split()[3::3]
-        it = _iter_blocks_python(path, block_rows)
+        it = _iter_blocks_python(path, block_rows, row_range)
     if len(sample_names) != n:
         raise ValueError(f"Malformed Beagle header in {path}")
     return BeagleStreamMeta(m, n, sample_names), it

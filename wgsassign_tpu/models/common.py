@@ -114,6 +114,35 @@ def _shard_to_device(shard: BeagleShard, runtime: Runtime,
     )
 
 
+def _stream_alloc(device, shape, fill):
+    """Allocate a committed single-device buffer without a host copy."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import SingleDeviceSharding
+
+    return jax.jit(
+        lambda: jnp.full(shape, fill, jnp.float32),
+        out_shardings=SingleDeviceSharding(device),
+    )()
+
+
+def _stream_update(dst, src, off):
+    """Donated in-place row-window write on the buffer's device.  ``off``
+    travels as a traced scalar so every offset shares one compilation."""
+    import jax
+
+    if not hasattr(_stream_update, "_fn"):
+        import jax.numpy as jnp  # noqa: F401
+
+        _stream_update._fn = jax.jit(
+            lambda d, s, o: jax.lax.dynamic_update_slice(d, s, (o, 0)),
+            donate_argnums=(0,),
+        )
+    import numpy as _np
+
+    return _stream_update._fn(dst, src, _np.int32(off))
+
+
 def stream_to_device(
     path: str,
     runtime: Optional[Runtime] = None,
@@ -128,112 +157,181 @@ def stream_to_device(
     blocks, without ever materializing the full ``[M, N, 2]`` matrix on the
     host (the reference holds all of M resident, reader_cy.pyx:71).
 
-    Pipeline: a prefetch thread parses block i+1 while block i is placed
-    into the SNP-sharded device arrays via a donated
-    ``dynamic_update_slice`` (in-place on device).  Peak host memory is
-    O(block); M is bounded by aggregate device HBM, not host RAM.
+    Pipeline: a prefetch thread parses block i+1 while block i is written
+    into per-device buffers via a donated ``dynamic_update_slice``
+    (in-place on device); the buffers are assembled into global
+    SNP-sharded arrays at the end.  Peak host memory is O(block); M is
+    bounded by aggregate device HBM, not host RAM.
+
+    Multi-host: each process streams only its own contiguous row window
+    (rows before it are decompressed and line-counted, never
+    float-tokenized) into its local devices' buffers — no host ever
+    materializes even its *shard* of the GL matrix, removing the last
+    host-RAM bound of the multi-host path (``read_beagle_sharded`` holds
+    ``[M/nproc, N, 2]`` resident per host).
 
     ``keep_mask`` (bool ``[file_rows]``) drops masked data rows on the fly
     — the streamed form of the downsampled-LOO site intersection; the
-    cohort then covers only the kept rows, in order.
+    cohort then covers only the kept rows, in order.  Multi-host processes
+    map their kept-row window back to the smallest original row range and
+    mask locally.
 
     Returns ``(cohort, meta, site_names)`` where ``meta`` is a
-    :class:`wgsassign_tpu.io.stream.BeagleStreamMeta` and ``site_names`` is
-    None unless ``collect_site_names`` (which reintroduces an O(M) host
-    cost and is meant for tests / small runs).
+    :class:`wgsassign_tpu.io.stream.BeagleStreamMeta` and ``site_names``
+    is None unless ``collect_site_names`` (single-process only: it
+    reintroduces an O(M) host cost and is meant for tests / small runs).
     """
     import math as _math
 
     import jax
-    import jax.numpy as jnp
 
-    from wgsassign_tpu.io.stream import open_block_iterator, prefetch
+    from wgsassign_tpu.io.beagle import beagle_dims
+    from wgsassign_tpu.io.stream import (
+        BeagleStreamMeta,
+        open_block_iterator,
+        prefetch,
+    )
 
     if runtime is None:
         runtime = make_runtime()
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "streamed ingest is single-process; multi-host runs shard rows "
-            "per process via read_beagle_sharded instead"
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if collect_site_names and nproc > 1:
+        raise ValueError(
+            "collect_site_names would return only this process's window "
+            "under multi-host streaming"
         )
-    from wgsassign_tpu.io.beagle import beagle_dims
-
     mult = runtime.site_multiple(site_multiple)
-    _m_scan, n_scan = beagle_dims(path, use_native=use_native)
-    if block_rows is None:
-        # ~256 MiB of parsed GL (2 float32s per site-individual) per block
-        block_rows = max((256 << 20) // (8 * max(n_scan, 1)), 1)
-    block_rows = max(_math.ceil(block_rows / mult) * mult, mult)
-    meta, blocks = open_block_iterator(
-        path, block_rows, use_native, n_threads=n_threads
-    )
+    if mult % nproc != 0:
+        raise ValueError(
+            f"site multiple {mult} does not divide over {nproc} processes"
+        )
+    m_scan, n = beagle_dims(path, use_native=use_native)
+
+    positions = None
     if keep_mask is not None:
         keep_mask = np.asarray(keep_mask, dtype=bool)
-        if keep_mask.shape[0] != meta.n_sites:
+        if keep_mask.shape[0] != m_scan:
             raise ValueError(
                 f"keep_mask covers {keep_mask.shape[0]} rows, Beagle file "
-                f"{path} has {meta.n_sites}"
+                f"{path} has {m_scan}"
             )
-        blocks = _rechunk_filtered(blocks, keep_mask, block_rows)
-        m_real = int(keep_mask.sum())
+        positions = np.flatnonzero(keep_mask)
+        m_real = int(positions.size)
     else:
-        m_real = meta.n_sites
-    n = meta.n_inds
+        m_real = m_scan
+
     m_pad = _math.ceil(max(m_real, 1) / mult) * mult
+    n_dev = runtime.n_devices
+    per_dev = m_pad // n_dev
+    per_proc = m_pad // nproc
 
-    def alloc(fill):
-        return jax.jit(
-            lambda: jnp.full((m_pad, n), fill, jnp.float32),
-            out_shardings=runtime.sites_sharding(2),
-        )()
+    if block_rows is None:
+        # ~256 MiB of parsed GL (2 float32s per site-individual) per block
+        block_rows = max((256 << 20) // (8 * max(n, 1)), 1)
+    block_rows = max(_math.ceil(block_rows / mult) * mult, mult)
 
-    g0 = alloc(PAD_G0)
-    g1 = alloc(PAD_G1)
-    w = jax.jit(
-        lambda: (jnp.arange(m_pad) < m_real).astype(jnp.float32),
-        out_shardings=runtime.sites_sharding(1),
-    )()
+    # this process's window over the *kept* rows, then mapped back to the
+    # smallest original-row range (filtering preserves order)
+    lo_p = pid * per_proc
+    hi_p = min(m_real, lo_p + per_proc)
+    local_mask = None
+    if hi_p > lo_p:
+        if positions is not None:
+            orig_lo = int(positions[lo_p])
+            orig_hi = int(positions[hi_p - 1]) + 1
+            local_mask = keep_mask[orig_lo:orig_hi]
+        else:
+            orig_lo, orig_hi = lo_p, hi_p
+        _meta, blocks = open_block_iterator(
+            path, block_rows, use_native, n_threads=n_threads,
+            row_range=(orig_lo, orig_hi), dims=(m_scan, n),
+        )
+        if local_mask is not None:
+            blocks = _rechunk_filtered(blocks, local_mask, block_rows)
+        sample_names = _meta.sample_names
+    else:  # more processes than row blocks: empty window
+        _meta, blocks = open_block_iterator(
+            path, block_rows, use_native, n_threads=n_threads,
+            row_range=(0, 0), dims=(m_scan, n),
+        )
+        sample_names = _meta.sample_names
+    meta = BeagleStreamMeta(m_scan, n, sample_names)
 
-    update = jax.jit(
-        lambda dst, src, lo: jax.lax.dynamic_update_slice(dst, src, (lo, 0)),
-        donate_argnums=(0,),
-    )
+    # local devices in global mesh order; their row windows must tile this
+    # process's [lo_p, lo_p + per_proc) block contiguously (the same
+    # assumption the non-streamed multi-host assembly makes)
+    mesh_devs = list(runtime.mesh.devices.flat)
+    my_pos = [i for i, d in enumerate(mesh_devs) if d.process_index == pid]
+    if (my_pos != list(range(my_pos[0], my_pos[0] + len(my_pos)))
+            or my_pos[0] * per_dev != lo_p
+            or len(my_pos) * per_dev != per_proc):
+        raise ValueError(
+            "mesh devices are not process-contiguous; streamed ingest "
+            "needs each process's devices to own one contiguous row block"
+        )
+
+    g0_bufs = {d: _stream_alloc(mesh_devs[d], (per_dev, n), PAD_G0)
+               for d in my_pos}
+    g1_bufs = {d: _stream_alloc(mesh_devs[d], (per_dev, n), PAD_G1)
+               for d in my_pos}
 
     site_names = [] if collect_site_names else None
-    lo = 0
+    wlo = 0  # rows of this process's window placed so far
     for gl_block, names in prefetch(blocks):
         b = gl_block.shape[0]
-        if lo + b > m_real:
+        if lo_p + wlo + b > hi_p:
             raise ValueError(
                 f"Beagle file {path} grew during streaming ingest "
-                f"({lo + b} rows > dims scan {m_real})"
+                f"({lo_p + wlo + b} rows > dims scan {hi_p})"
             )
-        is_final = lo + b == m_real
-        g0_src = np.ascontiguousarray(gl_block[:, :, 0])
-        g1_src = np.ascontiguousarray(gl_block[:, :, 1])
-        if is_final and m_pad - lo != b:
-            # pad the tail block out to the device array's end
-            tail = m_pad - lo
-
-            def pad_tail(a, fill):
-                out = np.full((tail, a.shape[1]), fill, dtype=a.dtype)
-                out[: a.shape[0]] = a
-                return out
-
-            g0_src = pad_tail(g0_src, PAD_G0)
-            g1_src = pad_tail(g1_src, PAD_G1)
-        g0 = update(g0, g0_src, lo)
-        g1 = update(g1, g1_src, lo)
+        done = 0
+        while done < b:  # split at device boundaries (rows are ascending)
+            gpos = lo_p + wlo + done
+            di = gpos // per_dev
+            doff = gpos % per_dev
+            take = min(b - done, per_dev - doff)
+            g0_bufs[di] = _stream_update(
+                g0_bufs[di],
+                np.ascontiguousarray(gl_block[done : done + take, :, 0]),
+                doff,
+            )
+            g1_bufs[di] = _stream_update(
+                g1_bufs[di],
+                np.ascontiguousarray(gl_block[done : done + take, :, 1]),
+                doff,
+            )
+            done += take
         if site_names is not None:
             site_names.extend(names)
-        lo += b
-    if lo != m_real:
+        wlo += b
+    if lo_p + wlo != hi_p:
         raise ValueError(
             f"Beagle file {path} shrank during streaming ingest "
-            f"({lo} rows < dims scan {m_real})"
+            f"({lo_p + wlo} rows < dims scan {hi_p})"
         )
+
+    # per-device site weights (1.0 on real rows) — O(per_dev) host floats
+    w_bufs = {}
+    for d in my_pos:
+        rows = np.arange(d * per_dev, (d + 1) * per_dev)
+        w_bufs[d] = jax.device_put(
+            (rows < m_real).astype(np.float32), mesh_devs[d]
+        )
+
+    def assemble(bufs, ndim):
+        sharding = runtime.sites_sharding(ndim)
+        shape = (m_pad, n) if ndim == 2 else (m_pad,)
+        return jax.make_array_from_single_device_arrays(
+            shape, sharding, [bufs[d] for d in my_pos]
+        )
+
     cohort = DeviceCohort(
-        g0=g0, g1=g1, site_weight=w, m_real=m_real, runtime=runtime
+        g0=assemble(g0_bufs, 2),
+        g1=assemble(g1_bufs, 2),
+        site_weight=assemble(w_bufs, 1),
+        m_real=m_real,
+        runtime=runtime,
     )
     return cohort, meta, site_names
 

@@ -330,6 +330,38 @@ def _gather_member_panels(g0, g1, keep, mem):
         g1[keep[:, None, :], mem[:, :, None]]
 
 
+# One gather program per output sharding (multi-device fused path): the
+# [B, P, S] panels come out sharded on their site axis, ready for the
+# shard_map'd sites-batch EM.
+_GATHER_SHARDED_CACHE = {}
+
+
+def _gather_member_panels_sharded(cohort, rt, keep, mem):
+    if rt.n_devices == 1:
+        return _gather_member_panels(
+            cohort.g0, cohort.g1, jnp.asarray(keep), jnp.asarray(mem)
+        )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    sharding = NamedSharding(rt.mesh, P(None, None, SNP_AXIS))
+    fn = _GATHER_SHARDED_CACHE.get(sharding)
+    if fn is None:
+        fn = jax.jit(
+            lambda g0, g1, k, m: (
+                g0[k[:, None, :], m[:, :, None]],
+                g1[k[:, None, :], m[:, :, None]],
+            ),
+            out_shardings=(sharding, sharding),
+        )
+        _GATHER_SHARDED_CACHE[sharding] = fn
+    return fn(
+        cohort.g0, cohort.g1,
+        rt.shard_axis(keep, 1), rt.replicate(mem),
+    )
+
+
 @jax.jit
 def _clamp_loo_af(f, mem_mask):
     counts = jnp.sum(mem_mask, axis=1)
@@ -438,18 +470,16 @@ def reference_z_scores(
 
     # fused multi-iteration Pallas EM for the block (one HBM read of the
     # gathered member panels per chunk of iterations); the XLA while-loop
-    # re-reads them every iteration.  Single-mesh-device only — multi-device
-    # runs keep the (GSPMD-sharded) XLA path.
+    # re-reads them every iteration.  On a multi-device mesh the panels'
+    # site axis is sharded under shard_map with psum'd convergence
+    # partials (s_pad is bucketed to runtime.site_multiple(), so every
+    # shard is tile-aligned).
     from wgsassign_tpu.ops.pallas_emmaf import (
         MAX_FUSED_SITES_MEMBERS,
         em_maf_sites_batch_fused,
     )
 
-    use_fused = (
-        rt.pallas_enabled()
-        and rt.n_devices == 1
-        and p_pad <= MAX_FUSED_SITES_MEMBERS
-    )
+    use_fused = rt.pallas_enabled() and p_pad <= MAX_FUSED_SITES_MEMBERS
 
     def af_block(block: _ZBlock):
         b = len(block.inds)
@@ -461,14 +491,13 @@ def reference_z_scores(
             mem[slot, m.size :] = m[0]  # valid (masked) index
             mem_mask[slot, : m.size] = 1.0
         if use_fused:
-            g0p, g1p = _gather_member_panels(
-                cohort.g0, cohort.g1, jnp.asarray(block.keep),
-                jnp.asarray(mem),
+            g0p, g1p = _gather_member_panels_sharded(
+                cohort, rt, block.keep, mem
             )
             f, _, _ = em_maf_sites_batch_fused(
                 g0p, g1p, mem_mask, block.weight,
                 np.maximum(block.s_real, 1.0), max_iter, tol,
-                interpret=rt.pallas_interpret(),
+                interpret=rt.pallas_interpret(), runtime=rt,
             )
             return _clamp_loo_af(f, jnp.asarray(mem_mask))
         return _loo_af_block(

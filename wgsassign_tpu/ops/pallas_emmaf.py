@@ -1026,6 +1026,48 @@ def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
     return ft_new, sq[:, :, 0].T
 
 
+# One traced shard_map program per (mesh, T, interpret) — the sites-batch
+# analogue of _SHARDED_CHUNK_CACHE (the z-score reference-mode EM on a
+# multi-device mesh; reference bottleneck README.md:218).
+_SHARDED_SITES_CACHE = {}
+
+
+def _sharded_sites_chunk_fn(mesh, T: int, interpret: bool):
+    key = (mesh, T, interpret)
+    fn = _SHARDED_SITES_CACHE.get(key)
+    if fn is not None:
+        return fn
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    def body(g0s, g1s, fts, mask_s, sw_s, limits_s, inv_s):
+        ft_new, sq = sites_chunk_pallas(
+            g0s, g1s, fts, mask_s, sw_s, limits_s, inv_s, T,
+            interpret=interpret,
+        )
+        return ft_new, jax.lax.psum(sq, SNP_AXIS)
+
+    fn = jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, SNP_AXIS), P(None, None, SNP_AXIS),
+            P(None, None, SNP_AXIS), P(None, None, None),
+            P(None, None, SNP_AXIS), P(None, None, None),
+            P(None, None, None),
+        ),
+        out_specs=(P(None, None, SNP_AXIS), P(None, None)),
+        check_vma=False,
+    ))
+    _SHARDED_SITES_CACHE[key] = fn
+    return fn
+
+
 def em_maf_sites_batch_fused(
     g0p,
     g1p,
@@ -1037,39 +1079,78 @@ def em_maf_sites_batch_fused(
     chunk: int = 8,
     interpret: bool = False,
     checkpoint=None,
+    runtime=None,
 ):
     """Driver: chunked fused sites-batch EM.
 
     Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_sites_batch`
     (returns ``(f [B, S], iters [B], converged [B])``) with the
     multi-iteration Pallas kernel and exact per-problem convergence via
-    chunk replay.  Single-mesh-device only — callers on multi-device
-    runtimes use the XLA path.
+    chunk replay.  On a multi-device ``runtime`` the ``[B, P, S]`` panels'
+    site axis is sharded under shard_map with psum'd convergence partials
+    (the same scheme as the LOO kernel, ``_sharded_loo_chunk_fn``); the
+    per-shard site count must be tile-aligned (the z driver buckets
+    ``s_pad`` to ``runtime.site_multiple()``).
     """
     _mosaic_warmup(interpret)
-    g0p = jnp.asarray(g0p)
-    g1p = jnp.asarray(g1p)
-    b, p, s = g0p.shape
-    mask3 = jnp.asarray(member_mask, _F32).reshape(b, 1, p)
-    sw3 = jnp.asarray(site_weight, _F32).reshape(b, 1, s)
-    counts = np.asarray(jnp.sum(mask3, axis=2)).reshape(b)
-    inv3 = jnp.asarray(
-        (1.0 / np.maximum(counts, 1.0)).astype(np.float32).reshape(b, 1, 1)
-    )
+    b, p, s = np.shape(g0p)
+    mask_h = np.asarray(member_mask, np.float32).reshape(b, 1, p)
+    counts = mask_h.sum(axis=2).reshape(b)
+    inv_h = (1.0 / np.maximum(counts, 1.0)).astype(np.float32).reshape(b, 1, 1)
     ft0 = np.full((b, 1, s), 0.25, dtype=np.float32)
 
-    def put_ft(arr):
-        return jnp.asarray(np.ascontiguousarray(arr))
+    sharded = runtime is not None and runtime.n_devices > 1
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def run_chunk(ft_in, limits_arr, T):
-        limits3 = limits_arr.reshape(b, 1, 1)
-        return sites_chunk_pallas(
-            g0p, g1p, ft_in, mask3, sw3, limits3, inv3, T,
-            interpret=interpret,
+        from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+        if s % (runtime.n_devices) != 0:
+            raise ValueError(
+                f"fused sites-batch EM on a {runtime.n_devices}-device mesh "
+                f"needs the site axis pre-padded (got s={s}); bucket to "
+                "runtime.site_multiple()"
+            )
+        sharding3 = NamedSharding(runtime.mesh, P(None, None, SNP_AXIS))
+        g0p = jax.device_put(g0p, sharding3)
+        g1p = jax.device_put(g1p, sharding3)
+        sw3 = jax.device_put(
+            np.asarray(site_weight, np.float32).reshape(b, 1, s), sharding3
         )
+        mask3 = runtime.replicate(mask_h)
+        inv3 = runtime.replicate(inv_h)
+
+        def put_ft(arr):
+            return jax.device_put(np.ascontiguousarray(arr), sharding3)
+
+        def run_chunk(ft_in, limits_arr, T):
+            fn = _sharded_sites_chunk_fn(runtime.mesh, T, interpret)
+            return fn(
+                g0p, g1p, ft_in, mask3, sw3,
+                limits_arr.reshape(b, 1, 1), inv3,
+            )
+
+    else:
+        g0p = jnp.asarray(g0p)
+        g1p = jnp.asarray(g1p)
+        mask3 = jnp.asarray(mask_h)
+        sw3 = jnp.asarray(np.asarray(site_weight, np.float32).reshape(b, 1, s))
+        inv3 = jnp.asarray(inv_h)
+
+        def put_ft(arr):
+            return jnp.asarray(np.ascontiguousarray(arr))
+
+        def run_chunk(ft_in, limits_arr, T):
+            return sites_chunk_pallas(
+                g0p, g1p, ft_in, mask3, sw3, limits_arr.reshape(b, 1, 1),
+                inv3, T, interpret=interpret,
+            )
 
     ft, iters, active = _drive_chunks(
         run_chunk, put_ft, put_ft(ft0), b, max_iter, tol, m_real, chunk,
         checkpoint,
     )
-    return ft[:, 0, :], jnp.asarray(iters), jnp.asarray(~active)
+    # squeeze under jit: plain indexing on a multi-process global array
+    # would require full addressability
+    f = jax.jit(lambda x: x[:, 0, :])(ft)
+    return f, jnp.asarray(iters), jnp.asarray(~active)
