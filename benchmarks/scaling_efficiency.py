@@ -153,7 +153,18 @@ def _free_port() -> str:
 
 
 def run_config(workload: str, nproc: int, ndev_per_proc: int, m: int,
-               n: int, k: int, iters: int) -> float:
+               n: int, k: int, iters: int, launches: int = 2) -> float:
+    """Best wall-clock over ``launches`` independent process launches (each
+    already best-of-3 inside) — the min estimator filters the spawn/gloo
+    jitter a 2-core host adds on top of the inherent sharding overhead."""
+    return min(
+        _run_config_once(workload, nproc, ndev_per_proc, m, n, k, iters)
+        for _ in range(launches)
+    )
+
+
+def _run_config_once(workload: str, nproc: int, ndev_per_proc: int, m: int,
+                     n: int, k: int, iters: int) -> float:
     import tempfile
 
     worker = pathlib.Path(tempfile.gettempdir()) / "wgsa_scale_worker.py"
@@ -186,7 +197,10 @@ def main():
     ap.add_argument("--m", type=int, default=400_000)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--k", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="EM iterations per run; short runs under-amortize "
+                         "fixed per-invocation sync and understate "
+                         "efficiency vs the real <= 200-iteration EMs")
     ap.add_argument("--workloads", default="maf_em,loo,zscore")
     ap.add_argument("--artifact", default=None,
                     help="also append the JSON lines to this file")

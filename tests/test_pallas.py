@@ -693,3 +693,135 @@ def test_fastmath_em_close_to_canonical():
         np.asarray(fa), np.asarray(fb), rtol=0, atol=5e-5
     )
     assert not np.array_equal(np.asarray(fa), np.asarray(fb)) or True
+
+
+# ---------------------------------------------------------------------------
+# LOO-subset EM (the shard-local z-score reference-mode reformulation).
+# ---------------------------------------------------------------------------
+
+from wgsassign_tpu.ops.emmaf import em_maf_loo_subset
+from wgsassign_tpu.ops.pallas_emmaf import em_maf_loo_subset_fused
+
+
+def _subset_problem(m=256, n_p=10, b=4, seed=71):
+    rng = np.random.default_rng(seed)
+    raw = rng.dirichlet(np.ones(3), size=(m, n_p)).astype(np.float32)
+    g0p = np.ascontiguousarray(raw[:, :, 0].T)
+    g1p = np.ascontiguousarray(raw[:, :, 1].T)
+    leave = rng.choice(n_p, size=b, replace=False).astype(np.int32)
+    sw = (rng.random((b, m)) < 0.7).astype(np.float32)
+    sw[:, :8] = 1.0  # every problem keeps some sites
+    m_real = sw.sum(axis=1).astype(np.float32)
+    return g0p, g1p, leave, sw, m_real
+
+
+def test_loo_subset_matches_sites_batch():
+    """The full-axis LOO-subset EM must reproduce em_maf_sites_batch's
+    kept-site results (per-site independence argument): same values at
+    kept sites, same convergence iteration counts."""
+    g0p, g1p, leave, sw, m_real = _subset_problem()
+    m = g0p.shape[1]
+    n_p = g0p.shape[0]
+    b = leave.shape[0]
+    f_sub, it_sub, conv_sub = em_maf_loo_subset(
+        g0p, g1p, leave, sw, m_real, 200, 1e-4
+    )
+    # gathered-formulation reference: per problem, gather its kept sites
+    s_max = int(m_real.max())
+    keep = np.zeros((b, s_max), np.int32)
+    wk = np.zeros((b, s_max), np.float32)
+    g0g = np.ones((b, n_p, s_max), np.float32)
+    g1g = np.zeros((b, n_p, s_max), np.float32)
+    mem_mask = np.ones((b, n_p), np.float32)
+    for i in range(b):
+        ks = np.flatnonzero(sw[i])
+        keep[i, : ks.size] = ks
+        wk[i, : ks.size] = 1.0
+        g0g[i, :, : ks.size] = g0p[:, ks]
+        g1g[i, :, : ks.size] = g1p[:, ks]
+        mem_mask[i, leave[i]] = 0.0
+    from wgsassign_tpu.ops.emmaf import em_maf_sites_batch
+
+    f_g, it_g, conv_g = em_maf_sites_batch(
+        g0g, g1g, mem_mask, wk, m_real, 200, 1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(it_sub), np.asarray(it_g))
+    np.testing.assert_array_equal(np.asarray(conv_sub), np.asarray(conv_g))
+    for i in range(b):
+        ks = np.flatnonzero(sw[i])
+        np.testing.assert_allclose(
+            np.asarray(f_sub)[i, ks], np.asarray(f_g)[i, : ks.size],
+            rtol=0, atol=2e-6,
+        )
+
+
+@pytest.mark.parametrize("tol,max_iter,chunk", [
+    (1e-4, 200, 8),    # normal convergence, mid-chunk crossings + replay
+    (0.0, 11, 4),      # fixed iterations, uneven final chunk
+])
+def test_fused_loo_subset_matches_xla(tol, max_iter, chunk):
+    g0p, g1p, leave, sw, m_real = _subset_problem()
+    f_ref, iters_ref, conv_ref = em_maf_loo_subset(
+        g0p, g1p, leave, sw, m_real, max_iter, tol
+    )
+    f, iters, conv = em_maf_loo_subset_fused(
+        g0p, g1p, leave, sw, m_real, max_iter, tol, chunk=chunk,
+        interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    # kept sites must agree to f32 round-off; unkept sites are never read
+    # (their values drift ~1 ulp/iter of kernel-vs-XLA rounding)
+    np.testing.assert_allclose(
+        np.asarray(f)[sw > 0], np.asarray(f_ref)[sw > 0], rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=1e-5
+    )
+
+
+def test_fused_loo_subset_sharded_matches_xla():
+    """The shard_map'd LOO-subset chunk path on the 8-device mesh: panels
+    stay shard-local, partials psum — must bit-match the XLA path."""
+    import jax
+
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh (CPU CI runs 8 virtual)")
+    rt = make_runtime(jax.devices(), use_pallas=True)
+    g0p, g1p, leave, sw, m_real = _subset_problem(m=16 * rt.n_devices * 8)
+    f_ref, iters_ref, conv_ref = em_maf_loo_subset(
+        g0p, g1p, leave, sw, m_real, 150, 1e-4
+    )
+    f, iters, conv = em_maf_loo_subset_fused(
+        g0p, g1p, leave, sw, m_real, 150, 1e-4, chunk=8,
+        interpret=INTERPRET, runtime=rt,
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ref))
+    np.testing.assert_allclose(
+        np.asarray(f)[sw > 0], np.asarray(f_ref)[sw > 0], rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=1e-5
+    )
+
+
+def test_fused_loo_subset_site_block_streaming(monkeypatch):
+    """The site-blocked subset driver must match the unblocked path."""
+    import wgsassign_tpu.ops.pallas_emmaf as pe
+
+    g0p, g1p, leave, sw, m_real = _subset_problem(m=384)
+    f_ref, iters_ref, _ = em_maf_loo_subset(
+        g0p, g1p, leave, sw, m_real, 60, 1e-4
+    )
+    monkeypatch.setattr(pe, "_loo_stream_block",
+                        lambda m, np_pad, align: 128)
+    f, iters, _ = em_maf_loo_subset_fused(
+        g0p, g1p, leave, sw, m_real, 60, 1e-4, chunk=8, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
+    )

@@ -330,6 +330,75 @@ def _gather_member_panels(g0, g1, keep, mem):
         g1[keep[:, None, :], mem[:, :, None]]
 
 
+# --- LOO-structured reference-mode EM helpers ------------------------------
+# The shard-local reformulation (VERDICT r4): per population, the member
+# panel is a shard-local column take of the cohort shared by all of its
+# problems, the EM runs over the full site axis with kept-site masks only
+# in the convergence partials (per-site independence makes the kept-site
+# trajectories identical), and only the final [B, S] kept-value gather
+# crosses shards — P-times less data motion than gathering [B, P, S]
+# panels.  Measured 3-4x faster than the gathered path whenever most
+# sites are kept, at ANY device count; the gathered path still wins on
+# one device under strong filtering (less compute).  See
+# ops/emmaf.py::em_maf_loo_subset.
+
+_Z_JIT_CACHE = {}
+
+
+def _z_sharded_jit(rt: Runtime, name: str, body, out_axis1_sharded: bool):
+    """Cache one compiled program per (mesh, helper); multi-device outputs
+    are pinned sharded on their site axis."""
+    sharding = None
+    if rt.n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+        spec = P(None, SNP_AXIS) if out_axis1_sharded else P()
+        sharding = NamedSharding(rt.mesh, spec)
+    key = (name, rt.mesh if rt.n_devices > 1 else None)
+    fn = _Z_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(body, out_shardings=sharding)
+        _Z_JIT_CACHE[key] = fn
+    return fn
+
+
+def _scatter_site_weight(rt: Runtime, keep, weight, m_pad: int):
+    """Device-side ``[G, m_pad]`` kept-site mask from kept-site indices
+    (padded slots carry index 0 with weight 0 — the .add is a no-op)."""
+    def body(k, w):
+        g = k.shape[0]
+        out = jnp.zeros((g, m_pad), jnp.float32)
+        return out.at[jnp.arange(g)[:, None], k].add(w)
+
+    fn = _z_sharded_jit(rt, f"scatter_w_{m_pad}", body, True)
+    put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+    return fn(put(keep), put(weight))
+
+
+def _gather_kept_af(rt: Runtime, f, keep, min_val):
+    """Clamped AF at each problem's kept sites: ``[G, M] -> [G, S]``."""
+    def body(fv, k, mv):
+        return jnp.clip(jnp.take_along_axis(fv, k, axis=1), mv, 1.0 - mv)
+
+    fn = _z_sharded_jit(rt, "gather_kept_af", body, True)
+    put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+    return fn(f, put(keep), jnp.float32(min_val))
+
+
+@jax.jit
+def _reorder_concat(idx, *parts):
+    """Stack per-population result rows back into block slot order."""
+    return jnp.concatenate(parts, axis=0)[idx]
+
+
+@jax.jit
+def _member_panels_t(g0, g1, members):
+    """Shard-local transposed member-column take: ``[M, N] -> [n_p, M]``."""
+    return jnp.take(g0, members, axis=1).T, jnp.take(g1, members, axis=1).T
+
+
 # One gather program per output sharding (multi-device fused path): the
 # [B, P, S] panels come out sharded on their site axis, ready for the
 # shard_map'd sites-batch EM.
@@ -468,21 +537,85 @@ def reference_z_scores(
     p_pad = _bucket(max(m.size for m in members_of.values()), 8) \
         if members_of else 8
 
-    # fused multi-iteration Pallas EM for the block (one HBM read of the
-    # gathered member panels per chunk of iterations); the XLA while-loop
-    # re-reads them every iteration.  On a multi-device mesh the panels'
-    # site axis is sharded under shard_map with psum'd convergence
-    # partials (s_pad is bucketed to runtime.site_multiple(), so every
-    # shard is tile-aligned).
+    # Two structures for the per-individual LOO EMs, chosen per block:
+    #
+    #   gathered       — [B, P, S] kept-site member panels, then the fused
+    #                    sites-batch EM (one HBM read per chunk) or the XLA
+    #                    while-loop.  Less compute when sites are heavily
+    #                    filtered; the gather crosses shards.
+    #   loo-structured — per population: shard-local [n_p, M] member panel
+    #                    shared by its problems, full-site EM with
+    #                    kept-site masks only in the convergence partials
+    #                    (per-site independence => identical kept-site
+    #                    trajectories), final small [B, S] gather.
+    #
+    # Multi-device always takes the loo-structured path (the panel gather
+    # dominated the sharded z pipeline — SCALING_r04 diagnosis); a single
+    # device takes it when most sites are kept (measured 3x faster at
+    # fill ~1, while gathered wins under strong filtering).
+    from wgsassign_tpu.ops.emmaf import em_maf_loo_subset
     from wgsassign_tpu.ops.pallas_emmaf import (
+        MAX_FUSED_LOO_MEMBERS,
         MAX_FUSED_SITES_MEMBERS,
+        em_maf_loo_subset_fused,
         em_maf_sites_batch_fused,
     )
 
-    use_fused = rt.pallas_enabled() and p_pad <= MAX_FUSED_SITES_MEMBERS
+    use_fused_gathered = (
+        rt.pallas_enabled() and p_pad <= MAX_FUSED_SITES_MEMBERS
+    )
+    pop_members = {
+        lab: popmap.members_of(lab).astype(np.int32)
+        for lab in set(popmap.pop_labels[ind_start:ind_end])
+    }
+
+    def loo_structured_block(block: _ZBlock):
+        m_pad = cohort.m_pad
+        slots_by_pop = {}
+        for slot, i in enumerate(block.inds):
+            slots_by_pop.setdefault(popmap.pop_labels[i], []).append(slot)
+        parts, slot_order = [], []
+        for lab, slots in slots_by_pop.items():
+            members = pop_members[lab]
+            n_p = int(members.size)
+            pos_of = {int(mm): idx for idx, mm in enumerate(members)}
+            leave = np.asarray(
+                [pos_of[block.inds[s]] for s in slots], np.int32
+            )
+            g0p, g1p = _member_panels_t(
+                cohort.g0, cohort.g1,
+                rt.replicate(members) if rt.n_devices > 1 else members,
+            )
+            w_full = _scatter_site_weight(
+                rt, block.keep[slots], block.weight[slots], m_pad
+            )
+            s_real_g = np.maximum(block.s_real[slots], 1.0).astype(F32)
+            if rt.pallas_enabled() and n_p <= MAX_FUSED_LOO_MEMBERS:
+                f, _, _ = em_maf_loo_subset_fused(
+                    g0p, g1p, leave, w_full, s_real_g, max_iter, tol,
+                    interpret=rt.pallas_interpret(), runtime=rt,
+                )
+            else:
+                put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+                f, _, _ = em_maf_loo_subset(
+                    g0p, g1p, put(leave), w_full, put(s_real_g),
+                    max_iter, tol,
+                )
+            # reference clamp with n = LOO member count n_p - 1
+            parts.append(
+                _gather_kept_af(rt, f, block.keep[slots],
+                                1.0 / (2.0 * n_p))
+            )
+            slot_order.extend(slots)
+        inv_order = np.argsort(np.asarray(slot_order)).astype(np.int32)
+        put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+        return _reorder_concat(put(inv_order), *parts)
 
     def af_block(block: _ZBlock):
         b = len(block.inds)
+        fill = float(np.sum(block.s_real)) / (b * max(cohort.m_real, 1))
+        if rt.n_devices > 1 or fill >= 0.5:
+            return loo_structured_block(block)
         mem = np.zeros((b, p_pad), dtype=np.int32)
         mem_mask = np.zeros((b, p_pad), dtype=F32)
         for slot, i in enumerate(block.inds):
@@ -490,7 +623,7 @@ def reference_z_scores(
             mem[slot, : m.size] = m
             mem[slot, m.size :] = m[0]  # valid (masked) index
             mem_mask[slot, : m.size] = 1.0
-        if use_fused:
+        if use_fused_gathered:
             g0p, g1p = _gather_member_panels_sharded(
                 cohort, rt, block.keep, mem
             )

@@ -279,6 +279,82 @@ def em_maf_sites_batch(
     return f, iters, jnp.logical_not(active)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def em_maf_loo_subset(
+    g0p: jax.Array,
+    g1p: jax.Array,
+    leave_out: jax.Array,
+    site_weight: jax.Array,
+    m_real: jax.Array,
+    max_iter: int,
+    tol,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``B`` leave-one-out MAF EMs of one population over the full site axis.
+
+    The shard-local reformulation of :func:`em_maf_sites_batch` for the
+    z-score reference mode (VERDICT r4: the ``[B, P, S]`` kept-site gather
+    dominates multi-device z-scores — measured 0.33 s -> 0.86 s across 8
+    shards while the EM itself scaled).  Because the EM is per-site
+    independent, running problem ``b`` over *all* sites with its kept-site
+    mask applied only to the convergence partials yields the identical
+    trajectory at the kept sites — and the member panel is then just a
+    shard-local column ``take`` of the cohort shared by every problem of
+    the population, with zero cross-shard data motion (the final
+    ``[B, S]`` kept-value gather is P-times smaller than the panel
+    gather).
+
+    Args:
+      g0p, g1p: float32 ``[n_p, M]`` the population's member GLs,
+        site-minor (as in :func:`em_maf_loo_group`).
+      leave_out: int32 ``[B]`` member row left out by each problem.
+      site_weight: float32 ``[B, M]`` per-problem kept-site mask (also 0
+        on padded sites) — enters the convergence partials only.
+      m_real: float32 ``[B]`` per-problem kept-site counts (>= 1).
+
+    Returns ``(f [B, M], iters [B] int32, converged [B] bool)``.
+    """
+    npop, _m = g0p.shape
+    b = leave_out.shape[0]
+    mask = 1.0 - jax.nn.one_hot(leave_out, npop, dtype=_F32)  # [B, n_p]
+    inv_counts = 1.0 / (npop - 1.0)
+    tol = jnp.asarray(tol, _F32)
+    m_real = jnp.asarray(m_real, _F32)
+
+    f0 = jnp.full((b, g0p.shape[1]), 0.25, dtype=_F32)
+
+    def update(f):
+        # w[b, i, s] fuses into the masked member sum — the [B, n_p, M]
+        # tensor never materializes
+        w = em_weights(g0p[None], g1p[None], f[:, None, :])
+        f_new = jnp.sum(w * mask[:, :, None], axis=1) * inv_counts
+        return jnp.clip(f_new, _EM_EPS, 1.0 - _EM_EPS)
+
+    def cond(state):
+        _, active, _, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(active))
+
+    def body(state):
+        f, active, iters, it = state
+        f_upd = update(f)
+        f_new = jnp.where(active[:, None], f_upd, f)
+        d = f_new - f
+        sq = jnp.sum(d * d * site_weight, axis=1)
+        diff = jnp.sqrt(sq / m_real)
+        newly = jnp.logical_and(active, diff < tol)
+        iters = jnp.where(newly, it + 1, iters)
+        active = jnp.logical_and(active, diff >= tol)
+        return f_new, active, iters, it + 1
+
+    state = (
+        f0,
+        jnp.ones((b,), dtype=bool),
+        jnp.full((b,), max_iter, dtype=jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    f, active, iters, _ = jax.lax.while_loop(cond, body, state)
+    return f, iters, jnp.logical_not(active)
+
+
 def clamp_af(f: jax.Array, n_pop) -> jax.Array:
     """Clamp allele frequencies to ``[1/(2(n+1)), 1 - 1/(2(n+1))]``.
 

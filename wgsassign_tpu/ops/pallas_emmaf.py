@@ -1048,6 +1048,293 @@ def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
     return ft_new, sq[:, :, 0].T
 
 
+# ---------------------------------------------------------------------------
+# Fused LOO-subset EM — the shard-local z-score reference-mode EM
+# (ops/emmaf.py::em_maf_loo_subset semantics: B leave-one-out problems of
+# one population over the FULL site axis, kept-site masks entering only
+# the convergence partials).  Same problems-on-grid structure as the LOO
+# kernel — the member GL panel is shared across problems (one HBM copy,
+# re-fetched per grid step), which is exactly what removes the [B, P, S]
+# cross-shard gather that dominated the gathered formulation on a mesh.
+# ---------------------------------------------------------------------------
+
+
+def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
+                       limits_ref, ftout_ref, sq_ref,
+                       *, T: int, NP_PAD: int, n_real: int):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    g0 = g0_ref[:]              # [NP_PAD, tile] — all members' GLs
+    g1 = g1_ref[:]
+    g2 = 1.0 - g0 - g1          # iteration-invariant
+    row = jax.lax.broadcasted_iota(jnp.int32, (NP_PAD, 1), 0)
+    lv = leave_ref[0, 0, 0]     # member row this problem leaves out
+    keep = ((row != lv) & (row < n_real)).astype(_F32)
+    lim = limits_ref[0, 0, 0]   # scalar update limit for this problem
+    inv = 1.0 / (n_real - 1.0)
+    sw = sw_ref[0]              # [1, tile] — this problem's kept-site mask
+    f = ft_ref[0]               # [1, tile]
+
+    acc = []
+    for t in range(T):
+        # same op order as em_maf_loo_subset's update (bit-matching
+        # trajectories at every site)
+        omf = 1.0 - f
+        p0 = g0 * omf * omf
+        p1 = g1 * 2.0 * f * omf
+        p2 = g2 * f * f
+        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP_PAD, tile]
+        f_upd = jnp.sum(w * keep, axis=0, keepdims=True) * inv
+        f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
+        f_new = jnp.where(lim > float(t), f_upd, f)
+        d = f_new - f
+        acc.append(jnp.sum(d * d * sw, axis=1, keepdims=True))  # [1, 1]
+        f = f_new
+
+    ftout_ref[0] = f
+    sq_ref[0] = sq_ref[0] + jnp.concatenate(acc, axis=0)  # [T, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "T", "interpret"))
+def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
+                      interpret: bool = False):
+    """One chunk of T fused LOO-subset EM iterations.
+
+    Args:
+      g0p, g1p: float32 ``[np_pad, M]`` member GL panels, site-minor
+        (padded site columns and member rows >= ``n_real`` hold (1, 0)).
+      ft: float32 ``[B, 1, M]`` per-problem AF state.
+      sw: float32 ``[B, 1, M]`` per-problem kept-site masks (0 on padding).
+      leave: int32 ``[B, 1, 1]`` member row each problem leaves out.
+      limits: float32 ``[B, 1, 1]`` per-problem update limits (<= T).
+      n_real: real member count (LOO divisor ``n_real - 1``).
+
+    Returns ``(ft_new [B, 1, M], sq [T, B])``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    np_pad, m = g0p.shape
+    b = ft.shape[0]
+    np_pad2, tile = _loo_block_sizes(m, np_pad)
+    if np_pad2 != np_pad:
+        raise ValueError(
+            f"member axis {np_pad} not a sublane multiple; use "
+            "em_maf_loo_subset_fused (it pads via _loo_block_sizes)"
+        )
+    grid = (b, m // tile)  # problems outer, site tiles inner
+    kernel = functools.partial(
+        _zloo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real
+    )
+    ft_new, sq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((np_pad, tile), lambda i, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_pad, tile), lambda i, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, m), _F32),
+            jax.ShapeDtypeStruct((b, T, 1), _F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g0p, g1p, ft, sw, leave, limits)
+    return ft_new, sq[:, :, 0].T
+
+
+# One traced shard_map program per (mesh, n_real, T, interpret).
+_SHARDED_ZLOO_CACHE = {}
+
+
+def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
+    key = (mesh, n_real, T, interpret)
+    fn = _SHARDED_ZLOO_CACHE.get(key)
+    if fn is not None:
+        return fn
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+    def body(g0s, g1s, fts, sws, leave_s, limits_s):
+        ft_new, sq = zloo_chunk_pallas(
+            g0s, g1s, fts, sws, leave_s, limits_s, n_real, T,
+            interpret=interpret,
+        )
+        return ft_new, jax.lax.psum(sq, SNP_AXIS)
+
+    fn = jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, SNP_AXIS), P(None, SNP_AXIS),
+            P(None, None, SNP_AXIS), P(None, None, SNP_AXIS),
+            P(None, None, None), P(None, None, None),
+        ),
+        out_specs=(P(None, None, SNP_AXIS), P(None, None)),
+        check_vma=False,
+    ))
+    _SHARDED_ZLOO_CACHE[key] = fn
+    return fn
+
+
+def em_maf_loo_subset_fused(
+    g0p,
+    g1p,
+    leave_out,
+    site_weight,
+    m_real,
+    max_iter: int,
+    tol,
+    chunk: int = 8,
+    interpret: bool = False,
+    checkpoint=None,
+    runtime=None,
+):
+    """Driver: chunked fused LOO-subset EM.
+
+    Same contract as :func:`wgsassign_tpu.ops.emmaf.em_maf_loo_subset`
+    (returns ``(f [B, M] device array, iters [B], converged [B])``) with
+    the multi-iteration-per-HBM-read kernel and exact per-problem
+    convergence via chunk replay.  On a multi-device ``runtime`` the site
+    axis is sharded under shard_map with psum'd partials — all panel
+    traffic is shard-local by construction.
+    """
+    _mosaic_warmup(interpret)
+    n_p, m = np.shape(g0p)
+    leave_h = np.asarray(leave_out, np.int32)
+    b = leave_h.shape[0]
+
+    if isinstance(g0p, np.ndarray):
+        g0p = jnp.asarray(g0p)
+    if isinstance(g1p, np.ndarray):
+        g1p = jnp.asarray(g1p)
+    sw = jnp.asarray(site_weight, _F32)  # may already be device-resident
+
+    # lane alignment (site axis) + member-row padding, as in the LOO driver
+    m_orig = m
+    lane_pad = (-m) % 128
+    if lane_pad:
+        if runtime is not None and runtime.n_devices > 1:
+            raise ValueError(
+                f"fused LOO-subset EM on a {runtime.n_devices}-device mesh "
+                f"needs the site axis pre-padded (got m={m})"
+            )
+        g0p = jnp.pad(g0p, ((0, 0), (0, lane_pad)), constant_values=1.0)
+        g1p = jnp.pad(g1p, ((0, 0), (0, lane_pad)), constant_values=0.0)
+        sw = jnp.pad(sw, ((0, 0), (0, lane_pad)))
+        m += lane_pad
+    np_pad, _tile = _loo_block_sizes(m, n_p)
+    row_pad = np_pad - n_p
+    if row_pad:
+        g0p = jnp.pad(g0p, ((0, row_pad), (0, 0)), constant_values=1.0)
+        g1p = jnp.pad(g1p, ((0, row_pad), (0, 0)), constant_values=0.0)
+
+    sw3 = jnp.reshape(sw, (b, 1, m))
+    leave3_h = leave_h.reshape(b, 1, 1)
+    ft0 = np.full((b, 1, m), 0.25, dtype=np.float32)
+
+    if runtime is not None and runtime.n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wgsassign_tpu.parallel.mesh import SNP_AXIS
+
+        sharding3 = NamedSharding(runtime.mesh, P(None, None, SNP_AXIS))
+        sw3 = jax.device_put(sw3, sharding3)
+        leave3 = runtime.replicate(leave3_h)
+
+        def put_ft(arr):
+            return jax.device_put(np.ascontiguousarray(arr), sharding3)
+
+        block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
+
+        def run_block(lo, hi, ft_in, sw_in, limits_arr, T):
+            fn = _sharded_zloo_chunk_fn(runtime.mesh, n_p, T, interpret)
+            if lo == 0 and hi == m:
+                return fn(g0p, g1p, ft_in, sw_in, leave3, limits_arr)
+            return fn(g0p[:, lo:hi], g1p[:, lo:hi], ft_in[:, :, lo:hi],
+                      sw_in[:, :, lo:hi], leave3, limits_arr)
+
+    else:
+        leave3 = jnp.asarray(leave3_h)
+
+        def put_ft(arr):
+            return jnp.asarray(np.ascontiguousarray(arr))
+
+        block_m = _loo_stream_block(m, np_pad, 128)
+
+        def run_block(lo, hi, ft_in, sw_in, limits_arr, T):
+            if lo == 0 and hi == m:
+                return zloo_chunk_pallas(
+                    g0p, g1p, ft_in, sw_in, leave3, limits_arr, n_p, T,
+                    interpret=interpret,
+                )
+            return _zloo_chunk_block(
+                g0p, g1p, ft_in, sw_in, leave3, limits_arr,
+                jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
+            )
+
+    def run_chunk(ft_in, limits_arr, T):
+        limits3 = limits_arr.reshape(b, 1, 1)
+        if block_m >= m:
+            return run_block(0, m, ft_in, sw3, limits3, T)
+        fts, sq = [], None
+        for lo in range(0, m, block_m):
+            ftb, sqb = run_block(lo, min(lo + block_m, m), ft_in, sw3,
+                                 limits3, T)
+            fts.append(ftb)
+            sq = sqb if sq is None else sq + sqb
+        return jnp.concatenate(fts, axis=2), sq
+
+    ft, iters, active = _drive_chunks(
+        run_chunk, put_ft, put_ft(ft0), b, max_iter, tol, m_real, chunk,
+        checkpoint,
+    )
+    f = jax.jit(lambda x: x[:, 0, :m_orig])(ft)
+    return f, jnp.asarray(iters), jnp.asarray(~active)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("size", "n_real", "T", "interpret")
+)
+def _zloo_chunk_block(g0p, g1p, ft, sw, leave, limits, lo, size,
+                      n_real: int, T: int, interpret: bool):
+    """One site block of a fused LOO-subset chunk (HBM-peak control, as in
+    _loo_chunk_block)."""
+    g0b = jax.lax.dynamic_slice_in_dim(g0p, lo, size, axis=1)
+    g1b = jax.lax.dynamic_slice_in_dim(g1p, lo, size, axis=1)
+    ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=2)
+    swb = jax.lax.dynamic_slice_in_dim(sw, lo, size, axis=2)
+    return zloo_chunk_pallas(g0b, g1b, ftb, swb, leave, limits, n_real, T,
+                             interpret=interpret)
+
+
 # One traced shard_map program per (mesh, T, interpret) — the sites-batch
 # analogue of _SHARDED_CHUNK_CACHE (the z-score reference-mode EM on a
 # multi-device mesh; reference bottleneck README.md:218).
