@@ -54,7 +54,14 @@ def main():
         m = (m // 256) * 256
         rng = np.random.default_rng(0)
         raw = rng.dirichlet(np.ones(3), size=(m, n)).astype(np.float32)
-        g0, g1 = raw[:, :, 0], raw[:, :, 1]
+        # pin the panels to device BEFORE timing: host-numpy operands pay a
+        # full tunnel upload per driver call (~30 MB/s here), which would
+        # swamp the kernel by 1000x
+        import jax.numpy as jnp
+
+        g0 = jnp.asarray(np.ascontiguousarray(raw[:, :, 0]))
+        g1 = jnp.asarray(np.ascontiguousarray(raw[:, :, 1]))
+        jax.block_until_ready((g0, g1))
         pop_index = (np.arange(n) % args.k).astype(np.int32)
         membership = np.zeros((n, args.k), dtype=np.float32)
         membership[np.arange(n), pop_index] = 1.0

@@ -825,3 +825,35 @@ def test_fused_loo_subset_site_block_streaming(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(f), np.asarray(f_ref), rtol=0, atol=2e-6
     )
+
+
+def test_fast_em_runtime_flag_hits_golden(breeding, breeding_ids):
+    """--fast_em (Runtime.fast_math) routes every fused kernel through the
+    reduced update; reference AF + LOO must still match the goldens at
+    float32 tolerance (bit-compat is explicitly given up)."""
+    import pathlib
+
+    import jax
+
+    from wgsassign_tpu.models.loo import leave_one_out
+    from wgsassign_tpu.models.reference_af import estimate_reference_af
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    golden_af = np.load(
+        pathlib.Path(__file__).parent / "golden" / "ref_af.npz",
+        allow_pickle=True,
+    )
+    golden_loo = np.load(
+        pathlib.Path(__file__).parent / "golden" / "loo.npz",
+        allow_pickle=True,
+    )
+    rt = make_runtime(jax.devices()[:1], use_pallas=True, fast_math=True)
+    res = estimate_reference_af(breeding, breeding_ids, runtime=rt)
+    np.testing.assert_allclose(res.af, golden_af["af"], rtol=1e-4, atol=2e-5)
+    loo = leave_one_out(breeding, res.af, breeding_ids, runtime=rt)
+    np.testing.assert_allclose(
+        loo.ll, golden_loo["ll"], rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_array_equal(
+        loo.ll.argmax(axis=1), golden_loo["ll"].argmax(axis=1)
+    )

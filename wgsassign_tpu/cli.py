@@ -110,6 +110,11 @@ parser.add_argument("--devices", metavar="INT", type=int, default=None,
     help="Use only the first INT devices of the mesh (default: all)")
 parser.add_argument("--use_pallas", action="store_true",
     help="Force the fused Pallas kernels on")
+parser.add_argument("--fast_em", action="store_true",
+    help="Algebraically-reduced EM update in the fused kernels (~1.2x "
+         "measured on v5e).  Same fixed point, different float32 rounding "
+         "order — results stay within float32 round-off of the default "
+         "but are no longer bit-matched to the reference trajectories")
 parser.add_argument("--no_pallas", action="store_true",
     help="Force the fused Pallas kernels off (pure-XLA path)")
 parser.add_argument("--profile", metavar="DIR",
@@ -200,7 +205,8 @@ def main(argv=None):
         devices = devices[: args.devices]
     use_pallas = True if args.use_pallas else (False if args.no_pallas else None)
     runtime = make_runtime(devices, use_pallas=use_pallas,
-                           debug_checks=args.debug_checks)
+                           debug_checks=args.debug_checks,
+                           fast_math=args.fast_em)
     print(
         f"Mesh: {runtime.n_devices} device(s) on "
         f"{devices[0].platform} across {jax.process_count()} process(es); "

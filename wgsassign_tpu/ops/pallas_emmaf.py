@@ -65,14 +65,18 @@ _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 # the per-chunk convergence partials are global.
 _BLOCK_OPERAND_BYTES = 1 << 30
 
-# Auto-fallback bound for the fused all-populations EM.  The per-step
-# working set at the 128-sublane floor tile is ~(2x2 double-buffered GL
-# panels + ~20 live [tile, N] f32 temporaries from the T-unrolled loop) =
-# 24 * 128 * N * 4 bytes; bounding it at 48 MB (vs the 64 MB
-# vmem_limit_bytes, leaving Mosaic headroom) gives N <= 4096.  Above this
-# individual count drivers switch to the XLA while-loop path instead of
-# asking the user for --no_pallas.
-MAX_FUSED_EM_INDIVIDUALS = (48 * 1024 * 1024) // (24 * 4 * 128)
+# Auto-fallback bound for the fused all-populations EM — HARDWARE
+# MEASURED (round 4, benchmarks/emmaf_n_bench.py on a v5e chip, chunk=8,
+# 128-row floor tile): the kernel compiles and runs at full throughput
+# through N=16384 and fails in Mosaic at N=24576, so the round-3 paper
+# bound of 4096 (from a 24-live-buffer VMEM estimate) was 4-6x
+# conservative — Mosaic schedules far fewer live [tile, N] buffers than
+# the T-unrolled source suggests.  The bound is set at 8192, half the
+# measured ceiling: compile time grows superlinearly past it (22 s at
+# 8192 -> 59 s at 16384) and the spare margin absorbs chip-generation
+# differences.  Above it drivers switch to the XLA while-loop path
+# instead of asking the user for --no_pallas.
+MAX_FUSED_EM_INDIVIDUALS = 8192
 
 
 # One-time trivial Mosaic compile before the first fused-kernel compile of
@@ -105,6 +109,31 @@ def _mosaic_warmup(interpret: bool) -> None:
         pass
 
 
+def _em_w(g0, g1, g2, f, fast_math: bool):
+    """The EM weight ``(p1 + 2 p2) / (2 (p0 + p1 + p2))`` in two op
+    orders: the canonical form (bit-identical to the XLA path — every
+    default path uses it) and the opt-in algebraically-reduced form
+    (``u = g1*f*(1-f) = p1/2`` => ``(u + p2) / (p0 + 2u + p2)``, two
+    fewer multiplies per element; ~1.2x measured on v5e; different f32
+    rounding order, so bit-compat is not guaranteed)."""
+    omf = 1.0 - f
+    if fast_math:
+        u = g1 * f * omf
+        p0 = g0 * omf * omf
+        p2 = g2 * f * f
+        return (u + p2) / (p0 + 2.0 * u + p2)
+    p0 = g0 * omf * omf
+    p1 = g1 * 2.0 * f * omf
+    p2 = g2 * f * f
+    return (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))
+
+
+def _resolve_fast_math(fast_math, runtime) -> bool:
+    if fast_math is not None:
+        return bool(fast_math)
+    return bool(getattr(runtime, "fast_math", False))
+
+
 def _block_sites(m: int, n: int, align: int) -> int:
     lanes = -(-max(n, 1) // 128) * 128
     b = _BLOCK_OPERAND_BYTES // (2 * 4 * lanes)
@@ -122,9 +151,9 @@ def _tile_m(m: int, n: int) -> int:
     for direct kernel calls in interpret mode — on hardware an unaligned
     whole-array tile lowers pathologically).  At production scale
     ``to_device`` pads the site axis further (mesh.PALLAS_SITE_TILE); the
-    128 floor means cohorts beyond ``MAX_FUSED_EM_INDIVIDUALS`` (~4k
-    individuals, counting the unrolled-iteration temporaries) exceed the
-    VMEM headroom — drivers auto-route those to the XLA path.
+    128 floor means cohorts beyond ``MAX_FUSED_EM_INDIVIDUALS`` (8192,
+    hardware-measured — see that constant) eventually fail Mosaic
+    compilation — drivers auto-route those to the XLA path.
     """
     tile = _VMEM_BUDGET_BYTES // (2 * 4 * max(n, 1))
     tile = 1 << (int(tile).bit_length() - 1)  # floor to power of two
@@ -158,24 +187,10 @@ def _em_chunk_kernel(
         f_ind = f[:, 0:1] * onehot[0:1, :]
         for k in range(1, K):
             f_ind += f[:, k : k + 1] * onehot[k : k + 1, :]
-        omf = 1.0 - f_ind
-        if fast_math:
-            # algebraically reduced update (VERDICT r3 item 8): with
-            # u = g1*f*(1-f) = p1/2, w = (u + p2) / (p0 + 2u + p2) —
-            # two fewer multiplies per element than the canonical form.
-            # Same fixed point, different f32 rounding order, so it
-            # perturbs bit-compat — opt-in only (ablation flag).
-            u = g1 * f_ind * omf
-            p0 = g0 * omf * omf
-            p2 = g2 * f_ind * f_ind
-            w = (u + p2) / (p0 + 2.0 * u + p2)  # [tm, N]
-        else:
-            # em_weights with g2 hoisted — identical op order (bit-exact
-            # vs the XLA path, which the convergence-count tests rely on)
-            p0 = g0 * omf * omf
-            p1 = g1 * 2.0 * f_ind * omf
-            p2 = g2 * f_ind * f_ind
-            w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))  # [tm, N]
+        # canonical: em_weights with g2 hoisted — identical op order
+        # (bit-exact vs the XLA path, which the convergence-count tests
+        # rely on); fast_math: see _em_w
+        w = _em_w(g0, g1, g2, f_ind, fast_math)  # [tm, N]
         cols = [
             jnp.sum(w * onehot[k : k + 1, :], axis=1, keepdims=True)
             * inv_counts[k]
@@ -256,10 +271,11 @@ def em_chunk_pallas(g0, g1, ft, onehot, inv_counts, limits,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "T", "inv_counts", "interpret")
+    jax.jit,
+    static_argnames=("size", "T", "inv_counts", "interpret", "fast_math"),
 )
 def _em_chunk_block(g0, g1, ft, onehot, inv_counts, limits, lo, size,
-                    T: int, interpret: bool):
+                    T: int, interpret: bool, fast_math: bool = False):
     """One site block of a fused chunk: slice the GL/AF operands inside jit
     (so only the block's lane-padded pallas copies materialize) and run the
     chunk kernel on the block."""
@@ -267,7 +283,8 @@ def _em_chunk_block(g0, g1, ft, onehot, inv_counts, limits, lo, size,
     g1b = jax.lax.dynamic_slice_in_dim(g1, lo, size, axis=0)
     ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=1)
     return em_chunk_pallas(
-        g0b, g1b, ftb, onehot, inv_counts, limits, T, interpret=interpret
+        g0b, g1b, ftb, onehot, inv_counts, limits, T, interpret=interpret,
+        fast_math=fast_math,
     )
 
 
@@ -277,8 +294,9 @@ def _em_chunk_block(g0, g1, ft, onehot, inv_counts, limits, lo, size,
 _SHARDED_CHUNK_CACHE = {}
 
 
-def _sharded_chunk_fn(mesh, inv_counts, T: int, interpret: bool):
-    key = (mesh, inv_counts, T, interpret)
+def _sharded_chunk_fn(mesh, inv_counts, T: int, interpret: bool,
+                      fast_math: bool = False):
+    key = (mesh, inv_counts, T, interpret, fast_math)
     fn = _SHARDED_CHUNK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -293,7 +311,7 @@ def _sharded_chunk_fn(mesh, inv_counts, T: int, interpret: bool):
     def body(g0s, g1s, fts, onehot_s, limits_s):
         ft_new, sq = em_chunk_pallas(
             g0s, g1s, fts, onehot_s, inv_counts, limits_s, T,
-            interpret=interpret,
+            interpret=interpret, fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
@@ -312,11 +330,13 @@ def _sharded_chunk_fn(mesh, inv_counts, T: int, interpret: bool):
 
 
 def em_chunk_sharded(runtime, g0, g1, ft, onehot, inv_counts,
-                     limits, T: int, interpret: bool = False):
+                     limits, T: int, interpret: bool = False,
+                     fast_math: bool = False):
     """Mesh-parallel wrapper: run the fused chunk kernel per device shard
     under ``shard_map`` and ``psum`` the squared-diff partials over the SNP
     axis.  ``ft`` is sharded along its site (second) axis."""
-    fn = _sharded_chunk_fn(runtime.mesh, inv_counts, T, interpret)
+    fn = _sharded_chunk_fn(runtime.mesh, inv_counts, T, interpret,
+                           fast_math)
     return fn(g0, g1, ft, onehot, limits)
 
 
@@ -332,6 +352,7 @@ def em_maf_pops_fused(
     interpret: bool = False,
     checkpoint=None,
     runtime=None,
+    fast_math=None,
 ):
     """Driver: chunked fused EM with exact reference convergence semantics.
 
@@ -342,6 +363,7 @@ def em_maf_pops_fused(
     save + resume of the chunk state.
     """
     _mosaic_warmup(interpret)
+    fast_math = _resolve_fast_math(fast_math, runtime)
     membership = np.asarray(membership, np.float32)
     n, k = membership.shape
     counts = membership.sum(axis=0)
@@ -403,12 +425,14 @@ def em_maf_pops_fused(
                 return em_chunk_sharded(
                     runtime, g0, g1, ft_in, onehot,
                     inv_counts, limits_arr, T, interpret=interpret,
+                    fast_math=fast_math,
                 )
             # static slices of sharded arrays stay shard-local (bounds are
             # aligned to n_devices * 256)
             return em_chunk_sharded(
                 runtime, g0[lo:hi], g1[lo:hi], ft_in[:, lo:hi], onehot,
                 inv_counts, limits_arr, T, interpret=interpret,
+                fast_math=fast_math,
             )
 
     else:
@@ -423,13 +447,14 @@ def em_maf_pops_fused(
             if lo == 0 and hi == m:
                 return em_chunk_pallas(
                     g0, g1, ft_in, onehot, inv_counts, limits_arr, T,
-                    interpret=interpret,
+                    interpret=interpret, fast_math=fast_math,
                 )
             # dynamic_slice keyed on block *size* so all full blocks share
             # one compiled program (+1 for the tail block)
             return _em_chunk_block(
                 g0, g1, ft_in, onehot, inv_counts, limits_arr,
                 jnp.asarray(lo, jnp.int32), hi - lo, T, interpret,
+                fast_math,
             )
 
     def run_chunk(ft_in, limits_arr, T):
@@ -592,7 +617,8 @@ def max_fused_loo_members() -> int:
 
 
 def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
-                      *, T: int, NP_PAD: int, n_real: int):
+                      *, T: int, NP_PAD: int, n_real: int,
+                      fast_math: bool = False):
     import jax.experimental.pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -614,11 +640,7 @@ def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
 
     acc = []
     for t in range(T):
-        omf = 1.0 - f
-        p0 = g0 * omf * omf
-        p1 = g1 * 2.0 * f * omf
-        p2 = g2 * f * f
-        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP_PAD, tile]
+        w = _em_w(g0, g1, g2, f, fast_math)            # [NP_PAD, tile]
         f_upd = jnp.sum(w * keep, axis=0, keepdims=True) * inv
         f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
         f_new = jnp.where(lim > float(t), f_upd, f)
@@ -630,9 +652,11 @@ def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
     sq_ref[0] = sq_ref[0] + jnp.concatenate(acc, axis=0)  # [T, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "T", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_real", "T", "interpret", "fast_math")
+)
 def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
-                     interpret: bool = False):
+                     interpret: bool = False, fast_math: bool = False):
     """One chunk of T fused LOO EM iterations for one population.
 
     Args:
@@ -660,7 +684,8 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
         )
     grid = (np_pad, m // tile)  # problems outer, site tiles inner
     kernel = functools.partial(
-        _loo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real
+        _loo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real,
+        fast_math=fast_math,
     )
     # per-problem state/limits/partials travel with a leading problem axis
     # whose block size is 1 (Mosaic's block rules apply to the last two
@@ -706,8 +731,9 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
 _SHARDED_LOO_CACHE = {}
 
 
-def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
-    key = (mesh, n_real, T, interpret)
+def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
+                          fast_math: bool = False):
+    key = (mesh, n_real, T, interpret, fast_math)
     fn = _SHARDED_LOO_CACHE.get(key)
     if fn is not None:
         return fn
@@ -721,7 +747,8 @@ def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
 
     def body(g0s, g1s, fts, limits_s):
         ft_new, sq = loo_chunk_pallas(
-            g0s, g1s, fts, limits_s, n_real, T, interpret=interpret
+            g0s, g1s, fts, limits_s, n_real, T, interpret=interpret,
+            fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
@@ -748,10 +775,11 @@ MAX_FUSED_LOO_MEMBERS = max_fused_loo_members()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "n_real", "T", "interpret")
+    jax.jit,
+    static_argnames=("size", "n_real", "T", "interpret", "fast_math"),
 )
 def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real: int, T: int,
-                     interpret: bool):
+                     interpret: bool, fast_math: bool = False):
     """One site block of a fused LOO chunk: slice the member panels and AF
     state inside jit (so only the block's layout-converted pallas copies
     materialize — at 5M sites the whole-array copies alone OOM a 16 GB
@@ -761,7 +789,7 @@ def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real: int, T: int,
     g1b = jax.lax.dynamic_slice_in_dim(g1p, lo, size, axis=1)
     ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=1)
     return loo_chunk_pallas(g0b, g1b, ftb, limits, n_real, T,
-                            interpret=interpret)
+                            interpret=interpret, fast_math=fast_math)
 
 
 def _loo_stream_block(m: int, np_pad: int, align: int) -> int:
@@ -787,6 +815,7 @@ def em_maf_loo_group_fused(
     interpret: bool = False,
     checkpoint=None,
     runtime=None,
+    fast_math=None,
 ):
     """Driver: chunked fused LOO EM for one population.
 
@@ -797,6 +826,7 @@ def em_maf_loo_group_fused(
     the (1, 0) padding GL pattern.
     """
     _mosaic_warmup(interpret)
+    fast_math = _resolve_fast_math(fast_math, runtime)
     n_p, m = g0p.shape
 
     # pin the member panels to device once — chunk calls with host numpy
@@ -860,7 +890,8 @@ def em_maf_loo_group_fused(
         block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
 
         def run_block(lo, hi, ft_in, limits_arr, T):
-            fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret)
+            fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret,
+                                       fast_math)
             if lo == 0 and hi == m:
                 return fn(g0p, g1p, ft_in, limits_arr)
             # static slices of sharded arrays stay shard-local (bounds are
@@ -877,13 +908,15 @@ def em_maf_loo_group_fused(
         def run_block(lo, hi, ft_in, limits_arr, T):
             if lo == 0 and hi == m:
                 return loo_chunk_pallas(
-                    g0p, g1p, ft_in, limits_arr, n_p, T, interpret=interpret
+                    g0p, g1p, ft_in, limits_arr, n_p, T,
+                    interpret=interpret, fast_math=fast_math,
                 )
             # dynamic_slice keyed on block *size* so all full blocks share
             # one compiled program (+1 for the tail block)
             return _loo_chunk_block(
                 g0p, g1p, ft_in, limits_arr,
                 jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
+                fast_math,
             )
 
     def run_chunk(ft_in, limits_arr, T):
@@ -952,7 +985,8 @@ MAX_FUSED_SITES_MEMBERS = max_fused_sites_members()
 
 
 def _sites_chunk_kernel(g0_ref, g1_ref, ft_ref, mask_ref, sw_ref, lim_ref,
-                        inv_ref, ftout_ref, sq_ref, *, T: int):
+                        inv_ref, ftout_ref, sq_ref, *, T: int,
+                        fast_math: bool = False):
     import jax.experimental.pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -972,11 +1006,7 @@ def _sites_chunk_kernel(g0_ref, g1_ref, ft_ref, mask_ref, sw_ref, lim_ref,
     for t in range(T):
         # same op order as em_maf_sites_batch's update (bit-matching
         # trajectories, which the equivalence tests rely on)
-        omf = 1.0 - f
-        p0 = g0 * omf * omf
-        p1 = g1 * 2.0 * f * omf
-        p2 = g2 * f * f
-        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))        # [P, tile]
+        w = _em_w(g0, g1, g2, f, fast_math)                 # [P, tile]
         f_upd = jnp.sum(w * mask_col, axis=0, keepdims=True) * inv
         f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
         f_new = jnp.where(lim > float(t), f_upd, f)
@@ -988,9 +1018,10 @@ def _sites_chunk_kernel(g0_ref, g1_ref, ft_ref, mask_ref, sw_ref, lim_ref,
     sq_ref[0] = sq_ref[0] + jnp.concatenate(acc_rows, axis=0)  # [T, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+@functools.partial(jax.jit, static_argnames=("T", "interpret", "fast_math"))
 def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
-                       inv_counts, T: int, interpret: bool = False):
+                       inv_counts, T: int, interpret: bool = False,
+                       fast_math: bool = False):
     """One chunk of T fused iterations of the sites-batch EM.
 
     Args:
@@ -1009,7 +1040,7 @@ def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
     b, p, s = g0p.shape
     tile = _sites_tile(s, p)
     grid = (b, s // tile)  # problems outer, site tiles inner
-    kernel = functools.partial(_sites_chunk_kernel, T=T)
+    kernel = functools.partial(_sites_chunk_kernel, T=T, fast_math=fast_math)
     ft_new, sq = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1061,7 +1092,8 @@ def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
 
 def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
                        limits_ref, ftout_ref, sq_ref,
-                       *, T: int, NP_PAD: int, n_real: int):
+                       *, T: int, NP_PAD: int, n_real: int,
+                       fast_math: bool = False):
     import jax.experimental.pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -1082,12 +1114,8 @@ def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
     acc = []
     for t in range(T):
         # same op order as em_maf_loo_subset's update (bit-matching
-        # trajectories at every site)
-        omf = 1.0 - f
-        p0 = g0 * omf * omf
-        p1 = g1 * 2.0 * f * omf
-        p2 = g2 * f * f
-        w = (p1 + 2.0 * p2) / (2.0 * (p0 + p1 + p2))   # [NP_PAD, tile]
+        # trajectories at every site); fast_math: see _em_w
+        w = _em_w(g0, g1, g2, f, fast_math)            # [NP_PAD, tile]
         f_upd = jnp.sum(w * keep, axis=0, keepdims=True) * inv
         f_upd = jnp.clip(f_upd, _EM_EPS, 1.0 - _EM_EPS)
         f_new = jnp.where(lim > float(t), f_upd, f)
@@ -1099,9 +1127,11 @@ def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
     sq_ref[0] = sq_ref[0] + jnp.concatenate(acc, axis=0)  # [T, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("n_real", "T", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_real", "T", "interpret", "fast_math")
+)
 def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
-                      interpret: bool = False):
+                      interpret: bool = False, fast_math: bool = False):
     """One chunk of T fused LOO-subset EM iterations.
 
     Args:
@@ -1128,7 +1158,8 @@ def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
         )
     grid = (b, m // tile)  # problems outer, site tiles inner
     kernel = functools.partial(
-        _zloo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real
+        _zloo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real,
+        fast_math=fast_math,
     )
     ft_new, sq = pl.pallas_call(
         kernel,
@@ -1169,8 +1200,9 @@ def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
 _SHARDED_ZLOO_CACHE = {}
 
 
-def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
-    key = (mesh, n_real, T, interpret)
+def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
+                           fast_math: bool = False):
+    key = (mesh, n_real, T, interpret, fast_math)
     fn = _SHARDED_ZLOO_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1185,7 +1217,7 @@ def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool):
     def body(g0s, g1s, fts, sws, leave_s, limits_s):
         ft_new, sq = zloo_chunk_pallas(
             g0s, g1s, fts, sws, leave_s, limits_s, n_real, T,
-            interpret=interpret,
+            interpret=interpret, fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
@@ -1216,6 +1248,7 @@ def em_maf_loo_subset_fused(
     interpret: bool = False,
     checkpoint=None,
     runtime=None,
+    fast_math=None,
 ):
     """Driver: chunked fused LOO-subset EM.
 
@@ -1227,6 +1260,7 @@ def em_maf_loo_subset_fused(
     traffic is shard-local by construction.
     """
     _mosaic_warmup(interpret)
+    fast_math = _resolve_fast_math(fast_math, runtime)
     n_p, m = np.shape(g0p)
     leave_h = np.asarray(leave_out, np.int32)
     b = leave_h.shape[0]
@@ -1275,7 +1309,8 @@ def em_maf_loo_subset_fused(
         block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
 
         def run_block(lo, hi, ft_in, sw_in, limits_arr, T):
-            fn = _sharded_zloo_chunk_fn(runtime.mesh, n_p, T, interpret)
+            fn = _sharded_zloo_chunk_fn(runtime.mesh, n_p, T, interpret,
+                                        fast_math)
             if lo == 0 and hi == m:
                 return fn(g0p, g1p, ft_in, sw_in, leave3, limits_arr)
             return fn(g0p[:, lo:hi], g1p[:, lo:hi], ft_in[:, :, lo:hi],
@@ -1293,11 +1328,12 @@ def em_maf_loo_subset_fused(
             if lo == 0 and hi == m:
                 return zloo_chunk_pallas(
                     g0p, g1p, ft_in, sw_in, leave3, limits_arr, n_p, T,
-                    interpret=interpret,
+                    interpret=interpret, fast_math=fast_math,
                 )
             return _zloo_chunk_block(
                 g0p, g1p, ft_in, sw_in, leave3, limits_arr,
                 jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
+                fast_math,
             )
 
     def run_chunk(ft_in, limits_arr, T):
@@ -1321,10 +1357,12 @@ def em_maf_loo_subset_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "n_real", "T", "interpret")
+    jax.jit,
+    static_argnames=("size", "n_real", "T", "interpret", "fast_math"),
 )
 def _zloo_chunk_block(g0p, g1p, ft, sw, leave, limits, lo, size,
-                      n_real: int, T: int, interpret: bool):
+                      n_real: int, T: int, interpret: bool,
+                      fast_math: bool = False):
     """One site block of a fused LOO-subset chunk (HBM-peak control, as in
     _loo_chunk_block)."""
     g0b = jax.lax.dynamic_slice_in_dim(g0p, lo, size, axis=1)
@@ -1332,7 +1370,7 @@ def _zloo_chunk_block(g0p, g1p, ft, sw, leave, limits, lo, size,
     ftb = jax.lax.dynamic_slice_in_dim(ft, lo, size, axis=2)
     swb = jax.lax.dynamic_slice_in_dim(sw, lo, size, axis=2)
     return zloo_chunk_pallas(g0b, g1b, ftb, swb, leave, limits, n_real, T,
-                             interpret=interpret)
+                             interpret=interpret, fast_math=fast_math)
 
 
 # One traced shard_map program per (mesh, T, interpret) — the sites-batch
@@ -1341,8 +1379,9 @@ def _zloo_chunk_block(g0p, g1p, ft, sw, leave, limits, lo, size,
 _SHARDED_SITES_CACHE = {}
 
 
-def _sharded_sites_chunk_fn(mesh, T: int, interpret: bool):
-    key = (mesh, T, interpret)
+def _sharded_sites_chunk_fn(mesh, T: int, interpret: bool,
+                            fast_math: bool = False):
+    key = (mesh, T, interpret, fast_math)
     fn = _SHARDED_SITES_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1357,7 +1396,7 @@ def _sharded_sites_chunk_fn(mesh, T: int, interpret: bool):
     def body(g0s, g1s, fts, mask_s, sw_s, limits_s, inv_s):
         ft_new, sq = sites_chunk_pallas(
             g0s, g1s, fts, mask_s, sw_s, limits_s, inv_s, T,
-            interpret=interpret,
+            interpret=interpret, fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
 
@@ -1389,6 +1428,7 @@ def em_maf_sites_batch_fused(
     interpret: bool = False,
     checkpoint=None,
     runtime=None,
+    fast_math=None,
 ):
     """Driver: chunked fused sites-batch EM.
 
@@ -1402,6 +1442,7 @@ def em_maf_sites_batch_fused(
     ``s_pad`` to ``runtime.site_multiple()``).
     """
     _mosaic_warmup(interpret)
+    fast_math = _resolve_fast_math(fast_math, runtime)
     b, p, s = np.shape(g0p)
     mask_h = np.asarray(member_mask, np.float32).reshape(b, 1, p)
     counts = mask_h.sum(axis=2).reshape(b)
@@ -1433,7 +1474,8 @@ def em_maf_sites_batch_fused(
             return jax.device_put(np.ascontiguousarray(arr), sharding3)
 
         def run_chunk(ft_in, limits_arr, T):
-            fn = _sharded_sites_chunk_fn(runtime.mesh, T, interpret)
+            fn = _sharded_sites_chunk_fn(runtime.mesh, T, interpret,
+                                         fast_math)
             return fn(
                 g0p, g1p, ft_in, mask3, sw3,
                 limits_arr.reshape(b, 1, 1), inv3,
@@ -1452,7 +1494,7 @@ def em_maf_sites_batch_fused(
         def run_chunk(ft_in, limits_arr, T):
             return sites_chunk_pallas(
                 g0p, g1p, ft_in, mask3, sw3, limits_arr.reshape(b, 1, 1),
-                inv3, T, interpret=interpret,
+                inv3, T, interpret=interpret, fast_math=fast_math,
             )
 
     ft, iters, active = _drive_chunks(
