@@ -134,6 +134,48 @@ def _resolve_fast_math(fast_math, runtime) -> bool:
     return bool(getattr(runtime, "fast_math", False))
 
 
+# Device-side initial-AF-state builders, cached per (shape, sharding,
+# m_real).  The drivers used to build these [rows, M] panels on the host
+# and upload them per invocation — 160 MB per LOO population at the 5M
+# headline shape, ~2 s each over the ~90 MB/s tunnel (~40 s of the
+# end-to-end wall-clock); a jitted on-device broadcast is ~0.4 s.
+_INIT_FT_CACHE = {}
+
+
+def _device_init_ft(shape, sharding=None, m_real=None):
+    """``0.25`` on real sites (< ``m_real`` along the last axis; everywhere
+    when ``m_real`` is None), ``_EM_EPS`` on padded sites — built on
+    device.  ``sharding`` pins the output placement (multi-device)."""
+    key = (tuple(shape), sharding, m_real)
+    fn = _INIT_FT_CACHE.get(key)
+    if fn is None:
+        def body():
+            if m_real is None:
+                return jnp.full(shape, 0.25, _F32)
+            row = jnp.where(
+                jnp.arange(shape[-1]) < m_real, 0.25, _EM_EPS
+            ).astype(_F32)
+            return jnp.broadcast_to(row, shape) + 0.0
+        fn = jax.jit(body, out_shardings=sharding)
+        _INIT_FT_CACHE[key] = fn
+    return fn()
+
+
+def _device_init_ft_from_weight(sw, shape, sharding=None):
+    """As :func:`_device_init_ft` but padding is wherever the site-weight
+    vector is 0 (the reference-AF driver's contract allows interior
+    zero-weight sites)."""
+    key = ("from_weight", tuple(shape), sharding)
+    fn = _INIT_FT_CACHE.get(key)
+    if fn is None:
+        def body(w):
+            row = jnp.where(w > 0, 0.25, _EM_EPS).astype(_F32)
+            return jnp.broadcast_to(row, shape) + 0.0
+        fn = jax.jit(body, out_shardings=sharding)
+        _INIT_FT_CACHE[key] = fn
+    return fn(sw)
+
+
 def _block_sites(m: int, n: int, align: int) -> int:
     lanes = -(-max(n, 1) // 128) * 128
     b = _BLOCK_OPERAND_BYTES // (2 * 4 * lanes)
@@ -369,7 +411,7 @@ def em_maf_pops_fused(
     counts = membership.sum(axis=0)
     inv_counts = tuple(float(1.0 / c) for c in counts)
     m = g0.shape[0]
-    sw_h = np.asarray(site_weight, np.float32)
+    sw_dev = jnp.asarray(site_weight)
 
     # pin the GL panels to device once — chunk calls with host numpy
     # panels re-upload them every chunk (and stall badly on tunneled
@@ -398,14 +440,13 @@ def em_maf_pops_fused(
                      constant_values=1.0)
         g1 = jnp.pad(jnp.asarray(g1), ((0, lane_pad), (0, 0)),
                      constant_values=0.0)
-        sw_h = np.pad(sw_h, (0, lane_pad))
+        sw_dev = jnp.pad(sw_dev, (0, lane_pad))
         m += lane_pad
 
-    # padded sites start at their fixed point (see module docstring), so
-    # they contribute exactly zero to every convergence partial
-    f_row = np.where(sw_h > 0, np.float32(0.25), np.float32(_EM_EPS))
-    ft_h = np.broadcast_to(f_row, (k, m))
-
+    # padded sites (zero weight) start at their fixed point (see module
+    # docstring), so they contribute exactly zero to every convergence
+    # partial; the state is built ON DEVICE — a host-built [K, M] panel
+    # costs a multi-second tunnel upload at production M
     if runtime is not None and runtime.n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -416,7 +457,7 @@ def em_maf_pops_fused(
         def put_ft(arr):
             return jax.device_put(np.ascontiguousarray(arr), ft_sharding)
 
-        ft = put_ft(ft_h)
+        ft = _device_init_ft_from_weight(sw_dev, (k, m), ft_sharding)
         onehot = runtime.replicate(np.asarray(membership.T))
         block_m = _block_sites(m, n, 256 * runtime.n_devices)
 
@@ -439,7 +480,7 @@ def em_maf_pops_fused(
         def put_ft(arr):
             return jnp.asarray(np.ascontiguousarray(arr))
 
-        ft = put_ft(ft_h)
+        ft = _device_init_ft_from_weight(sw_dev, (k, m))
         onehot = jnp.asarray(membership.T)
         block_m = _block_sites(m, n, 256)
 
@@ -867,10 +908,9 @@ def em_maf_loo_group_fused(
                       constant_values=0.0)
 
     # padded sites start at their fixed point (f = EPS under the (1, 0) GL
-    # pattern) so they contribute exactly zero to the convergence partials
-    f_row = np.full(m, _EM_EPS, dtype=np.float32)
-    f_row[:m_real] = 0.25
-    ft_h = np.broadcast_to(f_row, (np_pad, m))
+    # pattern) so they contribute exactly zero to the convergence
+    # partials; built ON DEVICE — the host-built [np_pad, M] panel cost a
+    # ~2 s tunnel upload PER POPULATION at the 5M headline shape
 
     def pad_limits(limits_arr):
         if not row_pad:
@@ -932,7 +972,12 @@ def em_maf_loo_group_fused(
             sq = sqb if sq is None else sq + sqb
         return jnp.concatenate(fts, axis=1), sq[:, :n_p]
 
-    ft = put_ft(ft_h)
+    ft = _device_init_ft(
+        (np_pad, m),
+        ft_sharding if (runtime is not None and runtime.n_devices > 1)
+        else None,
+        m_real,
+    )
     ft, iters, active = _drive_chunks(
         run_chunk, put_ft, ft, n_p, max_iter, tol, m_real, chunk, checkpoint
     )
@@ -1292,7 +1337,6 @@ def em_maf_loo_subset_fused(
 
     sw3 = jnp.reshape(sw, (b, 1, m))
     leave3_h = leave_h.reshape(b, 1, 1)
-    ft0 = np.full((b, 1, m), 0.25, dtype=np.float32)
 
     if runtime is not None and runtime.n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1348,8 +1392,13 @@ def em_maf_loo_subset_fused(
             sq = sqb if sq is None else sq + sqb
         return jnp.concatenate(fts, axis=2), sq
 
+    ft0 = _device_init_ft(
+        (b, 1, m),
+        sharding3 if (runtime is not None and runtime.n_devices > 1)
+        else None,
+    )
     ft, iters, active = _drive_chunks(
-        run_chunk, put_ft, put_ft(ft0), b, max_iter, tol, m_real, chunk,
+        run_chunk, put_ft, ft0, b, max_iter, tol, m_real, chunk,
         checkpoint,
     )
     f = jax.jit(lambda x: x[:, 0, :m_orig])(ft)
@@ -1447,7 +1496,6 @@ def em_maf_sites_batch_fused(
     mask_h = np.asarray(member_mask, np.float32).reshape(b, 1, p)
     counts = mask_h.sum(axis=2).reshape(b)
     inv_h = (1.0 / np.maximum(counts, 1.0)).astype(np.float32).reshape(b, 1, 1)
-    ft0 = np.full((b, 1, s), 0.25, dtype=np.float32)
 
     sharded = runtime is not None and runtime.n_devices > 1
     if sharded:
@@ -1497,8 +1545,9 @@ def em_maf_sites_batch_fused(
                 inv3, T, interpret=interpret, fast_math=fast_math,
             )
 
+    ft0 = _device_init_ft((b, 1, s), sharding3 if sharded else None)
     ft, iters, active = _drive_chunks(
-        run_chunk, put_ft, put_ft(ft0), b, max_iter, tol, m_real, chunk,
+        run_chunk, put_ft, ft0, b, max_iter, tol, m_real, chunk,
         checkpoint,
     )
     # squeeze under jit: plain indexing on a multi-process global array
