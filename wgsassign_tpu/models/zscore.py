@@ -37,7 +37,7 @@ from wgsassign_tpu.io.beagle import BeagleData
 from wgsassign_tpu.io.ids import PopulationMap
 from wgsassign_tpu.models.common import DeviceCohort, to_device
 from wgsassign_tpu.ops.emmaf import em_maf_sites_batch
-from wgsassign_tpu.ops.zscore_ops import zscore_sums_batch
+from wgsassign_tpu.ops.zscore_ops import zscore_sums_batch_compact
 from wgsassign_tpu.parallel.mesh import PAD_AF, PAD_G0, PAD_G1, Runtime
 
 F32 = np.float32
@@ -163,21 +163,23 @@ def _bucket(n: int, mult: int) -> int:
     return -(-max(size, mult) // mult) * mult
 
 
-def _split_tables(tables: ComboTables) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-site split enumeration: rows+mask ``[S, C]`` over splits of the
-    site's depth.  All splits exist by the depth-class filter."""
+def _split_tables(tables: ComboTables) -> np.ndarray:
+    """Per-depth split enumeration ``rows_by_depth [D_max+1, C]``: the
+    combo-table row of split ``(d-x, x)`` for each kept depth ``d``.  All
+    splits exist by the depth-class filter; the validity mask is just
+    ``x <= d``, derived on device.  The per-SITE ``[S, C]`` expansion also
+    happens on device (`zscore_sums_batch_compact`) — shipping it from the
+    host cost ~8·C bytes/site."""
     row_of = {
         (int(a), int(b)): r for r, (a, b) in enumerate(tables.combos)
     }
     depths = np.unique(tables.site_depth)
     c_max = int(depths.max()) + 1
-    rows_by_depth = np.zeros((int(depths.max()) + 1, c_max), dtype=np.int32)
-    mask_by_depth = np.zeros((int(depths.max()) + 1, c_max), dtype=F32)
+    rows_by_depth = np.zeros((c_max, c_max), dtype=np.int32)
     for d in depths:
         for x in range(int(d) + 1):
             rows_by_depth[d, x] = row_of[(int(d - x), int(x))]
-            mask_by_depth[d, x] = 1.0
-    return rows_by_depth[tables.site_depth], mask_by_depth[tables.site_depth]
+    return rows_by_depth
 
 
 @dataclass
@@ -196,25 +198,67 @@ class _ZBlock:
     All per-individual combo tables are padded to shapes shared across the
     whole ``[ind_start, ind_end)`` range, so every block of the run reuses
     one compiled program (the final partial block is padded with repeats of
-    its last individual; repeated results are discarded)."""
+    its last individual; repeated results are discarded).
+
+    Deliberately COMPACT: the per-site GLs, site weights, split tables and
+    AF values are all derived on device from ``keep``/``depth``/``s_real``
+    and the (tiny) combo tables — host→device traffic per block is two
+    ``[B, S]`` int32 panels instead of the ~(3 + 2·C) float panels a naive
+    assembly ships (which dominated wall-clock over a ~90 MB/s tunnel)."""
 
     inds: List[int]          # real individual index per slot (repeats pad)
     n_real: int              # number of non-repeated leading slots
     keep: np.ndarray         # int32 [B, S] kept-site indices (pad -> 0)
-    g0k: np.ndarray          # float32 [B, S]
-    g1k: np.ndarray          # float32 [B, S]
-    weight: np.ndarray       # float32 [B, S]
     s_real: np.ndarray       # float32 [B] kept-site counts
-    rows: np.ndarray         # int32 [B, S, C]
-    mask: np.ndarray         # float32 [B, S, C]
+    depth: np.ndarray        # int32 [B, S] total depth per kept site (pad 0)
+    rows_by_depth: np.ndarray  # int32 [B, C, C] combo row of split x at depth d
     like_tab: np.ndarray     # float32 [B, R, 3]
     fact_tab: np.ndarray     # float32 [B, R, 3]
+
+    @property
+    def weight(self) -> np.ndarray:
+        """float32 [B, S] — 1.0 on the first ``s_real`` kept-site slots
+        (host copy; the device pipeline derives it from ``s_real``)."""
+        s_pad = self.keep.shape[1]
+        return (
+            np.arange(s_pad)[None, :] < self.s_real[:, None]
+        ).astype(F32)
 
 
 def _pad_to(a: np.ndarray, value, shape) -> np.ndarray:
     out = np.full(shape, value, dtype=a.dtype)
     out[tuple(slice(0, d) for d in a.shape)] = a
     return out
+
+
+def _gather_block_inputs(rt: Runtime, cohort, keep, inds, s_real):
+    """Device-derived per-site z operands: the individuals' GLs at their
+    kept sites (a ``[B, S]`` cohort gather) and the kept-slot weight mask
+    (from ``s_real``) — replacing three host-built-and-uploaded float
+    panels."""
+    def body(g0, g1, k, idx, sr):
+        g0k = g0[k, idx[:, None]]
+        g1k = g1[k, idx[:, None]]
+        w = (
+            jnp.arange(k.shape[1])[None, :] < sr[:, None]
+        ).astype(jnp.float32)
+        return g0k, g1k, w
+
+    fn = _z_sharded_jit(rt, "gather_block_inputs", body, True)
+    put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+    return fn(cohort.g0, cohort.g1, put(keep), put(inds),
+              put(np.asarray(s_real, F32)))
+
+
+def _gather_af_block(rt: Runtime, af_dev, keep, cols):
+    """Assignment-mode AF at kept sites: ``[M, K] -> [B, S]`` device
+    gather (the AF panel uploads once per run, not per block)."""
+    def body(afp, k, c):
+        return afp[k, c[:, None]]
+
+    fn = _z_sharded_jit(rt, "gather_af_block", body, True)
+    put = rt.replicate if rt.n_devices > 1 else jnp.asarray
+    return fn(af_dev, put(keep), put(cols))
 
 
 @jax.jit
@@ -269,7 +313,7 @@ def _prepare_tables(beagle, cohort, ad, inds, n_threshold,
         tables[i] = t
         splits[i] = _split_tables(t)
     s_max = max(t.keep_sites.size for t in tables.values())
-    c_max = max(r.shape[1] for r, _ in splits.values())
+    c_max = max(r.shape[1] for r in splits.values())
     r_max = max(len(t.combos) for t in tables.values())
     return tables, splits, s_max, c_max, r_max
 
@@ -278,14 +322,11 @@ def _assemble_block(tables, splits, inds, b_pad, s_pad, c_pad, r_pad):
     n_real = len(inds)
     slots = list(inds) + [inds[-1]] * (b_pad - n_real)
     keep = np.zeros((b_pad, s_pad), dtype=np.int32)
-    g0k = np.full((b_pad, s_pad), PAD_G0, dtype=F32)
-    g1k = np.full((b_pad, s_pad), PAD_G1, dtype=F32)
-    weight = np.zeros((b_pad, s_pad), dtype=F32)
     s_real = np.zeros((b_pad,), dtype=F32)
-    rows = np.zeros((b_pad, s_pad, c_pad), dtype=np.int32)
-    mask = np.zeros((b_pad, s_pad, c_pad), dtype=F32)
+    depth = np.zeros((b_pad, s_pad), dtype=np.int32)
+    rows_by_depth = np.zeros((b_pad, c_pad, c_pad), dtype=np.int32)
     # padded combo rows carry a harmless valid triple; they are never
-    # gathered (split_rows only references real rows) but stay finite.
+    # gathered (rows_by_depth only references real rows) but stay finite.
     like_tab = np.zeros((b_pad, r_pad, 3), dtype=F32)
     like_tab[:, :, 0] = 1.0
     fact_tab = np.zeros((b_pad, r_pad, 3), dtype=F32)
@@ -293,19 +334,15 @@ def _assemble_block(tables, splits, inds, b_pad, s_pad, c_pad, r_pad):
         t = tables[i]
         s = t.keep_sites.size
         keep[slot, :s] = t.keep_sites
-        g0k[slot, :s] = t.g0_keep
-        g1k[slot, :s] = t.g1_keep
-        weight[slot, :s] = 1.0
         s_real[slot] = s
-        r_i, m_i = splits[i]
-        rows[slot, :s, : r_i.shape[1]] = r_i
-        mask[slot, :s, : m_i.shape[1]] = m_i
+        depth[slot, :s] = t.site_depth
+        rbd = splits[i]
+        rows_by_depth[slot, : rbd.shape[0], : rbd.shape[1]] = rbd
         like_tab[slot, : len(t.combos)] = t.mean_gl
         fact_tab[slot, : len(t.combos)] = t.read_probs
     return _ZBlock(
-        inds=slots, n_real=n_real, keep=keep, g0k=g0k, g1k=g1k,
-        weight=weight, s_real=s_real, rows=rows, mask=mask,
-        like_tab=like_tab, fact_tab=fact_tab,
+        inds=slots, n_real=n_real, keep=keep, s_real=s_real, depth=depth,
+        rows_by_depth=rows_by_depth, like_tab=like_tab, fact_tab=fact_tab,
     )
 
 
@@ -458,9 +495,12 @@ def _run_blocks(
     s_pad = _bucket(s_max, rt.site_multiple())
     c_pad = _bucket(c_max, 4)
     r_pad = _bucket(r_max, 4)
-    # per-individual device footprint: split tables + GL/AF vectors + the
-    # mode-specific extra (gathered member panels in reference mode)
-    per_ind = s_pad * (c_pad * 8 + 24) + per_ind_bytes_extra(s_pad)
+    # per-individual device footprint: the z-sums intermediates dominate —
+    # XLA materializes the [S, C, 3] mean-GL and read-prob gathers (24·C
+    # bytes/site each) plus the [S, C] lg/wt/split tables (~20·C) and the
+    # GL/AF/weight vectors; underestimating this OOM'd a 16 GB chip at
+    # 2M-site blocks
+    per_ind = s_pad * (c_pad * 68 + 32) + per_ind_bytes_extra(s_pad)
     budget = Z_BLOCK_BYTES if block_bytes is None else block_bytes
     b = int(max(1, min(len(inds), budget // max(per_ind, 1))))
 
@@ -470,13 +510,17 @@ def _run_blocks(
             tables, splits, chunk, b, s_pad, c_pad, r_pad
         )
         a_dev = af_block_fn(block)
-        w_obs, w_mu, w_var = zscore_sums_batch(
-            rt.shard_axis(block.g0k, 1),
-            rt.shard_axis(block.g1k, 1),
-            a_dev,
-            rt.shard_axis(block.weight, 1),
-            rt.shard_axis(block.rows, 1),
-            rt.shard_axis(block.mask, 1),
+        # per-site GLs and weights come from the device cohort (keep-index
+        # gather), the [B, S, C] split tables expand on device from the
+        # compact depth vectors — see _ZBlock's docstring for why
+        g0k_d, g1k_d, w_d = _gather_block_inputs(
+            rt, cohort, block.keep,
+            np.asarray(block.inds, np.int32), block.s_real,
+        )
+        w_obs, w_mu, w_var = zscore_sums_batch_compact(
+            g0k_d, g1k_d, a_dev, w_d,
+            rt.shard_axis(block.depth, 1),
+            rt.replicate(block.rows_by_depth),
             rt.replicate(block.like_tab),
             rt.replicate(block.fact_tab),
         )
@@ -690,13 +734,13 @@ def assignment_z_scores(
             )
         col_of[i] = int(hits[0])
 
+    from wgsassign_tpu.models.common import pad_af_to
+
+    af_dev = rt.shard_sites(pad_af_to(af, cohort.m_pad))  # once per run
+
     def af_block(block: _ZBlock):
-        b, s_pad = block.keep.shape
-        a = np.full((b, s_pad), PAD_AF, dtype=F32)
-        for slot, i in enumerate(block.inds):
-            s = int(block.s_real[slot])
-            a[slot, :s] = af[block.keep[slot, :s], col_of[i]]
-        return rt.shard_axis(a, 1)
+        cols = np.asarray([col_of[i] for i in block.inds], np.int32)
+        return _gather_af_block(rt, af_dev, block.keep, cols)
 
     return _run_blocks(
         cohort, beagle, ad, ind_start, ind_end, af_block, lambda s: 0,
