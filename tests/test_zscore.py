@@ -121,3 +121,47 @@ def test_blocked_reference_mode(breeding, breeding_ids, breeding_ad):
     )
     np.testing.assert_array_equal(blocked.loci, golden["loci"])
     np.testing.assert_allclose(blocked.z, golden["z"], rtol=2e-3, atol=2e-3)
+
+
+def test_compact_zsums_match_legacy():
+    """zscore_sums_batch_compact (device-expanded site-minor tables) must
+    reproduce the legacy host-expanded zscore_sums_batch bit-for-bit-ish
+    on random combo tables."""
+    import jax.numpy as jnp
+
+    from wgsassign_tpu.ops.zscore_ops import (
+        zscore_sums_batch,
+        zscore_sums_batch_compact,
+    )
+
+    rng = np.random.default_rng(97)
+    b, s, c, r = 3, 64, 6, 12
+    gl = rng.dirichlet(np.ones(3), (b, s)).astype(np.float32)
+    g0k, g1k = gl[:, :, 0], gl[:, :, 1]
+    a = rng.uniform(0.05, 0.95, (b, s)).astype(np.float32)
+    weight = (rng.random((b, s)) < 0.8).astype(np.float32)
+    depth = rng.integers(1, c, (b, s)).astype(np.int32)
+    rows_by_depth = rng.integers(0, r, (b, c, c)).astype(np.int32)
+    like_tab = rng.dirichlet(np.ones(3), (b, r)).astype(np.float32)
+    fact_tab = rng.uniform(0.01, 1.0, (b, r, 3)).astype(np.float32)
+
+    # legacy expansion on host
+    rows = np.zeros((b, s, c), np.int32)
+    mask = np.zeros((b, s, c), np.float32)
+    for i in range(b):
+        rows[i] = rows_by_depth[i][depth[i]]
+        mask[i] = (np.arange(c)[None, :] <= depth[i][:, None]).astype(
+            np.float32
+        )
+    legacy = zscore_sums_batch(
+        *map(jnp.asarray, (g0k, g1k, a, weight, rows, mask,
+                           like_tab, fact_tab))
+    )
+    compact = zscore_sums_batch_compact(
+        *map(jnp.asarray, (g0k, g1k, a, weight, depth, rows_by_depth,
+                           like_tab, fact_tab))
+    )
+    for x, y in zip(compact, legacy):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-4
+        )
