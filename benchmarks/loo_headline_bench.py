@@ -39,9 +39,9 @@ def main():
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--no_pallas", action="store_true",
                     help="force the pure-XLA LOO path (fused-kernel ablation)")
-    ap.add_argument("--fast_em", action="store_true",
-                    help="algebraically-reduced EM update (the CLI's "
-                         "--fast_em; ~1.2x per-iteration on v5e)")
+    ap.add_argument("--no_fast_em", action="store_true",
+                    help="canonical EM op order (the reduced form is the "
+                         "default and bit-identical; kill-switch ablation)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +72,7 @@ def main():
 
     rt = make_runtime(
         jax.devices()[:1], use_pallas=False if args.no_pallas else None,
-        fast_math=args.fast_em,
+        fast_math=not args.no_fast_em,
     )
     cohort = to_device(beagle, rt)
 
@@ -96,7 +96,7 @@ def main():
         "workload": "loo_end_to_end",
         "engine": "xla" if args.no_pallas else
                   ("pallas" if rt.pallas_enabled() else "xla(auto)"),
-        "fast_em": bool(args.fast_em),
+        "fast_em": not args.no_fast_em,
         "m": m, "n": args.n, "k": args.k,
         "seconds": round(seconds, 2),
         "cold_seconds_incl_compile": round(cold_seconds, 2),

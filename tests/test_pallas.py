@@ -668,11 +668,14 @@ def test_reference_zscore_pallas_sharded_matches_golden(breeding,
     np.testing.assert_allclose(res.z, golden["z"][:5], rtol=2e-3, atol=2e-3)
 
 
-def test_fastmath_em_close_to_canonical():
-    """The opt-in fast_math update (algebraically reduced, different f32
-    rounding order) must agree with the canonical kernel to float32
-    round-off; the default path stays bit-identical to XLA (covered by
-    test_fused_matches_xla)."""
+def test_fastmath_em_bit_identical_to_canonical():
+    """The reduced update is provably BIT-IDENTICAL to the canonical form:
+    every step of the rewrite (p1 = 2u with u = g1*f*(1-f); numerator and
+    denominator each scaled by exactly 2) multiplies by powers of two,
+    which commute with IEEE-754 rounding — so (p1+2p2)/(2(p0+p1+p2)) and
+    (u+p2)/(p0+2u+p2) round identically at every site.  That is why the
+    1.2x-faster form can be the DEFAULT without giving up the
+    bit-compat-with-XLA guarantee the convergence-count tests pin."""
     import jax.numpy as jnp
 
     from wgsassign_tpu.ops.pallas_emmaf import em_chunk_pallas
@@ -689,10 +692,7 @@ def test_fastmath_em_close_to_canonical():
         jnp.asarray(g0), jnp.asarray(g1), f0, onehot, (1.0 / 16,), lim,
         16, interpret=INTERPRET, fast_math=True,
     )
-    np.testing.assert_allclose(
-        np.asarray(fa), np.asarray(fb), rtol=0, atol=5e-5
-    )
-    assert not np.array_equal(np.asarray(fa), np.asarray(fb)) or True
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
 # ---------------------------------------------------------------------------

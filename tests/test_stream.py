@@ -133,3 +133,37 @@ def test_streamed_cli_downsampled_loo_matches_golden(tmp_path):
     np.testing.assert_allclose(
         dfp.iloc[:, 3:].to_numpy(), golden["parts"], rtol=1e-4, atol=2e-3
     )
+
+
+def test_python_fallback_row_window_skips_blank_lines(tmp_path):
+    """Row-window offsets are in data-row space everywhere (the native
+    skip and beagle_dims ignore whitespace-only lines); the python
+    fallback must count the same way, not raw lines (round-4 review
+    finding: pandas skiprows counts raw lines)."""
+    import gzip
+
+    import numpy as np
+
+    from wgsassign_tpu.io.stream import open_block_iterator
+
+    path = tmp_path / "blank.beagle.gz"
+    header = "marker\tallele1\tallele2\tI0\tI0\tI0\n"
+    rows = [
+        f"s{i}\t0\t1\t{0.1 + i / 100:.2f}\t0.5\t{0.4 - i / 100:.2f}\n"
+        for i in range(8)
+    ]
+    with gzip.open(path, "wt") as f:
+        f.write(header)
+        f.write(rows[0])
+        f.write("\n")          # blank line inside the data
+        f.write("".join(rows[1:4]))
+        f.write("\n")
+        f.write("".join(rows[4:]))
+    meta, blocks = open_block_iterator(
+        str(path), 3, use_native=False, row_range=(2, 6)
+    )
+    names = [nm for _, nms in blocks for nm in nms]
+    assert names == ["s2", "s3", "s4", "s5"]
+    # and the full parse agrees with the native data-row semantics
+    meta2, blocks2 = open_block_iterator(str(path), 100, use_native=False)
+    assert sum(b[0].shape[0] for b in blocks2) == 8

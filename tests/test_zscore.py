@@ -165,3 +165,24 @@ def test_compact_zsums_match_legacy():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-4
         )
+
+
+def test_assignment_af_dim_validation(breeding, breeding_ids):
+    """A misaligned --pop_af_file must fail loudly, not gather pad values
+    into silently wrong z-scores (round-4 review finding)."""
+    from wgsassign_tpu.models.zscore import assignment_z_scores
+
+    ad = read_allele_depths(str(GOLDEN_DIR / "breeding_ad.txt.gz"))
+    ref = np.load(GOLDEN_DIR / "ref_af.npz", allow_pickle=True)
+    af_short = ref["af"][:100]
+    with pytest.raises(ValueError, match="covers 100 sites"):
+        assignment_z_scores(
+            breeding, ad, breeding_ids.pop_labels, af_short, ref["pops"],
+            0, 2, 0, False,
+        )
+    af_narrow = ref["af"][:, :3]
+    with pytest.raises(ValueError, match="has 3 populations"):
+        assignment_z_scores(
+            breeding, ad, breeding_ids.pop_labels, af_narrow, ref["pops"],
+            0, 2, 0, False,
+        )

