@@ -33,9 +33,12 @@ N = 128
 EM_ITERS = 50
 CAL_M = 1 << 15  # CPU calibration runs a smaller site count
 
-# FLOPs per site-individual EM update (em_weights: 1 sub, 3 muls for p0,
-# 4 for p1, 3 for p2, 2 adds + 1 mul + 1 add for the fraction, 1 div,
-# + accumulate): a documented estimate used only for the FLOP/s readout.
+# FLOPs per site-individual EM update, counted on the CANONICAL form
+# (em_weights: 1 sub, 3 muls for p0, 4 for p1, 3 for p2, 2 adds + 1 mul +
+# 1 add for the fraction, 1 div, + accumulate).  The production kernel
+# runs the bit-identical reduced form (2 fewer multiplies), so the
+# reported vpu_mfu is an EFFECTIVE utilization — useful canonical work
+# per peak — slightly above the silicon's literal FLOP rate.
 FLOPS_PER_UPDATE = 16
 
 # Nominal HBM bandwidth (GB/s) by device kind, public spec sheets.
@@ -163,9 +166,12 @@ def tpu_updates_per_sec():
             rep[0] += 1
             lim = jnp.asarray([[float(T) - 1e-7 * rep[0]]], jnp.float32)
             t0 = time.perf_counter()
+            # fast_math=True is the production default (bit-identical
+            # reduced op order; benchmarks/fastmath_ablation.py measures
+            # both forms)
             _, sq = em_chunk_pallas(
                 g0d, g1d, f0, onehot, inv_counts, lim, T,
-                interpret=interpret,
+                interpret=interpret, fast_math=True,
             )
             np.asarray(sq[-1])
             return time.perf_counter() - t0
