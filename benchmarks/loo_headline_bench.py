@@ -79,7 +79,9 @@ def main():
     def run():
         t0 = time.perf_counter()
         ref = estimate_reference_af(beagle, popmap, cohort=cohort)
-        res = leave_one_out(beagle, ref.af, popmap, cohort=cohort)
+        res = leave_one_out(
+            beagle, ref.af, popmap, cohort=cohort, af_t_dev=ref.af_t_dev
+        )
         np.asarray(res.ll)
         return time.perf_counter() - t0, res
 

@@ -857,3 +857,24 @@ def test_fast_em_runtime_flag_hits_golden(breeding, breeding_ids):
     np.testing.assert_array_equal(
         loo.ll.argmax(axis=1), golden_loo["ll"].argmax(axis=1)
     )
+
+
+def test_loo_af_device_passthrough_matches_host_path(breeding, breeding_ids):
+    """estimate_reference_af's device AF panel fed straight into
+    leave_one_out (skipping the D2H+H2D round trip) must reproduce the
+    host-path LOO exactly."""
+    import jax
+
+    from wgsassign_tpu.models.loo import leave_one_out
+    from wgsassign_tpu.models.reference_af import estimate_reference_af
+    from wgsassign_tpu.parallel.mesh import make_runtime
+
+    rt = make_runtime(jax.devices()[:1], use_pallas=True)
+    res = estimate_reference_af(breeding, breeding_ids, runtime=rt)
+    assert res.af_t_dev is not None
+    via_host = leave_one_out(breeding, res.af, breeding_ids, runtime=rt)
+    via_dev = leave_one_out(
+        breeding, res.af, breeding_ids, runtime=rt, af_t_dev=res.af_t_dev
+    )
+    np.testing.assert_array_equal(via_dev.ll, via_host.ll)
+    np.testing.assert_array_equal(via_dev.iters, via_host.iters)

@@ -416,6 +416,7 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                     f64_sums=not args.f32_sums,
                     checkpoint_path=(args.out + ".loo.ckpt"
                                      if args.em_checkpoint else None),
+                    af_t_dev=res.af_t_dev,
                 )
             loo_secs = timer.totals["loo"]
             sizes_of = dict(zip(popmap.pops, popmap.pop_sizes))

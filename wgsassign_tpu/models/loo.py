@@ -104,6 +104,7 @@ def leave_one_out(
     verbose: bool = False,
     f64_sums: bool = True,
     checkpoint_path: Optional[str] = None,
+    af_t_dev=None,
 ) -> LooResult:
     if cohort is None:
         cohort = to_device(beagle, runtime, site_multiple=num_partitions)
@@ -145,9 +146,16 @@ def leave_one_out(
     # No [N + K, M] bank ever materializes (at 5M sites x 180 individuals
     # that bank was 3.7 GB next to a 7.2 GB cohort — past a 16 GB chip).
     k = popmap.n_pops
-    af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
-    af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
-    af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
+    if af_t_dev is not None and tuple(af_t_dev.shape) == (k, m_pad):
+        # device passthrough from estimate_reference_af (fused path):
+        # skips a [K, M] D2H+H2D round trip (~100 MB at the headline
+        # shape; only padded-site values differ from the host rebuild and
+        # those are weighted to zero downstream)
+        af_t = af_t_dev
+    else:
+        af_t_h = np.full((k, m_pad), PAD_AF, dtype=np.float32)
+        af_t_h[:, :m_real] = np.asarray(af_full, np.float32).T
+        af_t = _shard_rows(rt, af_t_h)  # [K, M] — the only (small) H2D here
     if rt.debug_checks:
         from wgsassign_tpu.ops.loglik import check_loglik_inputs
 

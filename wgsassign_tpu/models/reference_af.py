@@ -20,12 +20,28 @@ from wgsassign_tpu.ops.emmaf import clamp_af, em_maf_pops
 from wgsassign_tpu.parallel.mesh import Runtime
 
 
+def _clamp_rows(ft, min_val):
+    """Per-row clamp of a site-minor ``[K, M]`` panel on device."""
+    import jax
+    import jax.numpy as jnp
+
+    if not hasattr(_clamp_rows, "_fn"):
+        _clamp_rows._fn = jax.jit(
+            lambda x, mv: jnp.clip(x, mv[:, None], 1.0 - mv[:, None])
+        )
+    return _clamp_rows._fn(ft, np.asarray(min_val, np.float32))
+
+
 @dataclass
 class ReferenceAFResult:
     af: np.ndarray          # float32 [M, K], clamped
     pops: np.ndarray        # [K] population names (sorted unique order)
     iters: np.ndarray       # int32 [K] 1-based EM convergence iteration
     converged: np.ndarray   # bool [K]
+    # clamped [K, m_pad] site-minor DEVICE panel (fused path only): lets
+    # the LOO pipeline build its mini-banks without a ~100 MB D2H+H2D AF
+    # round trip at production scale
+    af_t_dev: Optional[object] = None
 
 
 def estimate_reference_af(
@@ -67,7 +83,7 @@ def estimate_reference_af(
         from wgsassign_tpu.ops.pallas_emmaf import em_maf_pops_fused
 
         ckpt = EMCheckpoint(checkpoint_path) if checkpoint_path else None
-        f, iters, converged = em_maf_pops_fused(
+        ft, iters, converged = em_maf_pops_fused(
             cohort.g0,
             cohort.g1,
             popmap.membership,
@@ -78,7 +94,16 @@ def estimate_reference_af(
             interpret=rt.pallas_interpret(),
             checkpoint=ckpt,
             runtime=rt,
+            return_device_panel=True,
         )
+        # clamp on device in the site-minor layout (padded sites clamp to
+        # min_val — harmless: everything downstream weights them to zero),
+        # keep the panel for the LOO mini-banks, fetch one host copy for
+        # the .pop_af.npy output
+        min_val = (
+            1.0 / (2.0 * (popmap.pop_sizes.astype(np.float32) + 1.0))
+        )
+        f = _clamp_rows(ft, min_val)
     else:
         membership = rt.replicate(popmap.membership)
         pop_index = rt.replicate(popmap.pop_index)
@@ -92,15 +117,16 @@ def estimate_reference_af(
             max_iter,
             tol,
         )
-    if isinstance(f, np.ndarray):
-        # fused path returns host memory; clamp there (avoids rematerializing
-        # a lane-padded [M, K] panel on device)
-        sizes = popmap.pop_sizes.astype(np.float32)
-        min_val = 1.0 / (2.0 * (sizes + 1.0))
-        af = np.clip(f[: cohort.m_real], min_val, 1.0 - min_val).astype(np.float32)
-    else:
-        from wgsassign_tpu.parallel.mesh import fetch_to_host
+    from wgsassign_tpu.parallel.mesh import fetch_to_host
 
+    af_t_dev = None
+    if use_fused:
+        # f is the clamped [K, m_pad] site-minor device panel
+        af_t_dev = f
+        af = np.ascontiguousarray(
+            fetch_to_host(f)[:, : cohort.m_real].T
+        ).astype(np.float32)
+    else:
         f = clamp_af(f, popmap.pop_sizes)
         af = fetch_to_host(f)[: cohort.m_real].astype(np.float32)
     return ReferenceAFResult(
@@ -108,4 +134,5 @@ def estimate_reference_af(
         pops=popmap.pops,
         iters=np.asarray(iters),
         converged=np.asarray(converged),
+        af_t_dev=af_t_dev,
     )

@@ -62,8 +62,11 @@ _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 # OOMs a 16 GB chip next to the 7 GB arguments).  The EM is per-site
 # independent, so the driver streams each chunk of iterations over site
 # blocks sized to keep the converted copies around this many bytes; only
-# the per-chunk convergence partials are global.
-_BLOCK_OPERAND_BYTES = 1 << 30
+# the per-chunk convergence partials are global.  2 GB (vs round-3's 1 GB)
+# halves the per-chunk dispatch count — each dispatch costs a ~100 ms
+# round trip on tunneled hosts — while the headline shape still fits:
+# 7.2 GB cohort + ~2.8 GB lane-padded copies + state < 16 GB.
+_BLOCK_OPERAND_BYTES = 2 << 30
 
 # Auto-fallback bound for the fused all-populations EM — HARDWARE
 # MEASURED (round 4, benchmarks/emmaf_n_bench.py on a v5e chip, chunk=8,
@@ -399,6 +402,7 @@ def em_maf_pops_fused(
     checkpoint=None,
     runtime=None,
     fast_math=None,
+    return_device_panel: bool = False,
 ):
     """Driver: chunked fused EM with exact reference convergence semantics.
 
@@ -407,6 +411,11 @@ def em_maf_pops_fused(
     host-orchestrated in chunks of fused Pallas iterations.  ``checkpoint``
     (an :class:`wgsassign_tpu.obs.checkpoint.EMCheckpoint`) enables periodic
     save + resume of the chunk state.
+
+    ``return_device_panel=True`` returns the transposed ``[K, M_padded]``
+    state as a DEVICE array instead (site-minor, unclamped) — callers that
+    feed the panel straight back to device pipelines (the LOO mini-banks)
+    skip a ~100 MB D2H+H2D round trip at production scale.
     """
     _mosaic_warmup(interpret)
     fast_math = _resolve_fast_math(fast_math, runtime)
@@ -516,6 +525,8 @@ def em_maf_pops_fused(
     ft, iters, active = _drive_chunks(
         run_chunk, put_ft, ft, k, max_iter, tol, m_real, chunk, checkpoint
     )
+    if return_device_panel:
+        return ft, jnp.asarray(iters), jnp.asarray(~active)
     from wgsassign_tpu.parallel.mesh import fetch_to_host
 
     f = np.ascontiguousarray(fetch_to_host(ft).T[:m_orig])
@@ -839,13 +850,15 @@ def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real: int, T: int,
 
 def _loo_stream_block(m: int, np_pad: int, align: int) -> int:
     """Site-block length for streaming a LOO chunk over HBM-peak-bounded
-    operand windows.  Tighter than the reference-AF driver's budget
-    (_BLOCK_OPERAND_BYTES/4): during the LOO phase the full cohort AND the
-    current population's ``[n_p + 1, M]`` AF mini-bank (the per-population
-    LOO state plus its full-data column, models/loo.py) are resident, so at
-    the 5M x 180 headline shape only a few GB of headroom exists for the
-    per-block operand copies."""
-    b = (_BLOCK_OPERAND_BYTES // 4) // (2 * 4 * max(np_pad, 1))
+    operand windows.  With the ``[n_p + 1, M]`` mini-banks (no ``[N+K, M]``
+    AF bank resident — models/loo.py), the headline 5M x 180 shape leaves
+    several GB of headroom next to the cohort, so the budget allows the
+    whole member panel's lane-padded copies (~1.6 GB there) in one window
+    — each extra site block costs a full dispatch round trip on tunneled
+    hosts (~100 ms each, measured round 4: 7 blocks x ~20 dispatches/pop
+    was ~2.5 s/pop of pure latency).  Wide-member populations (np_pad up
+    to 1024) still stream in bounded blocks via the divisor."""
+    b = (2 * _BLOCK_OPERAND_BYTES) // (2 * 4 * max(np_pad, 1))
     b = max(align, (b // align) * align)
     return min(m, b)
 
