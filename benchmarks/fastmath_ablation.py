@@ -1,15 +1,16 @@
 """MFU ablation: canonical vs algebraically-reduced EM update (VERDICT r3
 item 8 — the EM divide/multiply mix is the VPU bottleneck at 0.665 MFU).
 
-Times the fused chunk kernel with ``fast_math`` off (default, bit-compat
-op order) and on (``w = (u + p2)/(p0 + 2u + p2)`` with ``u = g1*f*(1-f)``,
-two fewer multiplies per element, different rounding order), using the
-same two-point slope method as bench.py to isolate per-iteration time.
-Also reports the max AF divergence after the run so the accuracy cost of
-the reordering is on record.
+Times the fused chunk kernel with ``fast_math`` off (canonical op order)
+and on (``w = (u + p2)/(p0 + 2u + p2)`` with ``u = g1*f*(1-f)``, two
+fewer multiplies per element, power-of-two-rescaled rounding order),
+using the same two-point slope method as bench.py to isolate
+per-iteration time.  Also reports the max AF divergence after the run so
+the accuracy cost of the reordering is on record.
 
-Prints one JSON line.  Default semantics stay bit-identical — fast_math
-is opt-in per call and not wired to any default path.
+Prints one JSON line.  The reduced form is the PRODUCTION DEFAULT
+(``Runtime.fast_math=True``; bit-identical to canonical for normal-range
+operands) — ``--no_fast_em`` / ``fast_math=False`` is the ablation arm.
 """
 
 import json

@@ -443,3 +443,74 @@ def test_two_process_cli_stream_ingest_downsampled(tmp_path):
     np.testing.assert_allclose(
         df.iloc[:, 2:].to_numpy(), golden["ll"], rtol=1e-5, atol=2e-3
     )
+
+
+_WORKER_STREAM_TINY = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+sys.path.insert(0, sys.argv[4])
+import numpy as np
+from wgsassign_tpu.models.common import stream_to_device
+from wgsassign_tpu.parallel.mesh import make_runtime
+
+rt = make_runtime()
+assert rt.n_devices == 4
+# site_multiple=4 -> mult = 4 devices * 4 = 16, so a 6-row file pads to 16
+# and process 1's window [8, 16) lies ENTIRELY in the padded tail
+# (lo_p=8 > m_real=6) — the advisor-flagged spurious "file shrank" case.
+cohort, meta, _ = stream_to_device(
+    sys.argv[5], runtime=rt, site_multiple=4, block_rows=4,
+    use_native=False,
+)
+assert meta.n_sites == 6 and cohort.m_real == 6
+g0 = np.asarray(jax.experimental.multihost_utils.process_allgather(
+    cohort.g0, tiled=True))
+w = np.asarray(jax.experimental.multihost_utils.process_allgather(
+    cohort.site_weight, tiled=True))
+assert g0.shape[0] == 16
+assert w[:6].sum() == 6 and w[6:].sum() == 0
+if pid == 0:
+    np.savez(sys.argv[6], g0=g0)
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_stream_tiny_file(tmp_path):
+    """Streamed ingest with m_real smaller than one process's padded
+    window: process 1's row window lies entirely in the padded tail and
+    must come back empty instead of tripping the shrank-file check
+    (advisor r4 medium, models/common.py)."""
+    from wgsassign_tpu.io.synth import write_beagle
+
+    rng = np.random.default_rng(3)
+    gl = rng.dirichlet(np.ones(3), size=(6, 5)).astype(np.float32)
+    beagle = str(tmp_path / "tiny.beagle.gz")
+    write_beagle(beagle, gl[:, :, :2])
+
+    repo = str(pathlib.Path(__file__).parent.parent)
+    worker = tmp_path / "worker_tiny.py"
+    worker.write_text(_WORKER_STREAM_TINY)
+    out = tmp_path / "tiny.npz"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", port, repo,
+             beagle, str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{log[-3000:]}"
+        assert f"WORKER_OK {i}" in log
+    got = np.load(out)["g0"]
+    # values round-trip through the %.6f text format
+    np.testing.assert_allclose(got[:6], gl[:, :, 0], atol=1e-6)

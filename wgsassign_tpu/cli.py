@@ -112,11 +112,13 @@ parser.add_argument("--use_pallas", action="store_true",
     help="Force the fused Pallas kernels on")
 parser.add_argument("--fast_em", action="store_true",
     help="(default, kept for compatibility) Algebraically-reduced EM "
-         "update in the fused kernels (~1.2x measured on v5e); provably "
-         "bit-identical to the canonical op order")
+         "update in the fused kernels (~1.2x measured on v5e); "
+         "bit-identical to the canonical op order for normal-range "
+         "operands (empirically verified)")
 parser.add_argument("--no_fast_em", action="store_true",
     help="Use the canonical (textbook) EM op order in the fused kernels — "
-         "a debugging kill switch; the two forms are bit-identical")
+         "a debugging kill switch; the two forms are bit-identical for "
+         "normal-range operands")
 parser.add_argument("--no_pallas", action="store_true",
     help="Force the fused Pallas kernels off (pure-XLA path)")
 parser.add_argument("--profile", metavar="DIR",

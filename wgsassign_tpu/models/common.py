@@ -244,7 +244,10 @@ def stream_to_device(
     # this process's window over the *kept* rows, then mapped back to the
     # smallest original-row range (filtering preserves order)
     lo_p = pid * per_proc
-    hi_p = min(m_real, lo_p + per_proc)
+    # clamp: a process whose whole window lies in the padded tail
+    # (lo_p >= m_real, possible when m_real < nproc * per_proc) must see an
+    # empty window, not hi_p < lo_p (which would trip the shrank-file check)
+    hi_p = max(lo_p, min(m_real, lo_p + per_proc))
     local_mask = None
     if hi_p > lo_p:
         if positions is not None:

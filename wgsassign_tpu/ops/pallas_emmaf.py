@@ -117,12 +117,17 @@ def _em_w(g0, g1, g2, f, fast_math: bool):
     orders: the canonical form (textually matching the XLA path) and the
     algebraically-reduced DEFAULT (``u = g1*f*(1-f) = p1/2`` =>
     ``(u + p2) / (p0 + 2u + p2)``, two fewer multiplies per element;
-    ~1.2x measured on v5e).  The two are provably BIT-IDENTICAL: every
-    step of the rewrite multiplies an operand or a whole fraction by a
-    power of two, and powers of two commute with IEEE-754 rounding —
-    ``fl(2a ∘ 2b) = 2·fl(a ∘ b)`` and ``fl(2x/2y) = fl(x/y)`` (verified
+    ~1.2x measured on v5e).  The two are BIT-IDENTICAL for normal-range
+    operands: every step of the rewrite multiplies an operand or a whole
+    fraction by a power of two, and powers of two commute with IEEE-754
+    rounding in the normal range — ``fl(2a ∘ 2b) = 2·fl(a ∘ b)`` and
+    ``fl(2x/2y) = fl(x/y)``.  (The commutation does NOT hold for
+    subnormal intermediates, and TPU flush-to-zero could let ``(2·g1)·f``
+    survive where ``2·(g1·f)`` flushes; with f clamped to ``_EM_EPS`` and
+    text-parsed GLs such operands are practically unreachable.  Verified
     empirically: exact equality in the unit test and 0.0 divergence over
-    50 iterations at 1M sites on a v5e chip)."""
+    50 iterations at 1M sites on a v5e chip; ``--no_fast_em`` is the
+    documented escape hatch.)"""
     omf = 1.0 - f
     if fast_math:
         u = g1 * f * omf

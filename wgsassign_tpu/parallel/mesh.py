@@ -46,8 +46,10 @@ class Runtime:
     debug_checks: bool = False  # checkify sanitizers on the hot paths
     # algebraically-reduced EM update in the fused kernels (~1.2x measured
     # on v5e), DEFAULT ON: the rewrite only scales operands/fractions by
-    # powers of two, which commute with IEEE-754 rounding, so it is
-    # bit-identical to the canonical form (proof + empirical check in
+    # powers of two, which commute with IEEE-754 rounding for normal-range
+    # operands, so it is bit-identical to the canonical form there
+    # (subnormal/flush-to-zero corner cases are unreachable with the
+    # _EM_EPS clamp; argument + empirical check in
     # ops/pallas_emmaf.py::_em_w).  --no_fast_em is the kill switch.
     fast_math: bool = True
 
