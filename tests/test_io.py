@@ -244,3 +244,38 @@ def test_native_ad_reader_rejects_malformed(tmp_path):
             read_int_matrix_native(str(p))
     with pytest.raises(FileNotFoundError):
         read_int_matrix_native(str(tmp_path / "missing.txt"))
+
+
+def test_hashed_site_intersection_matches_string_masks():
+    """The hash-based intersection (O(M)*8B host memory) must produce the
+    exact keep masks of the string-set version on the bundled amre pair."""
+    from conftest import BREEDING_BEAGLE, BREEDING_SUBSET_BEAGLE
+    from wgsassign_tpu.io.beagle import (
+        scan_site_hashes,
+        scan_site_names,
+        site_intersection_masks,
+        site_intersection_masks_hashed,
+    )
+
+    full_names = scan_site_names(str(BREEDING_BEAGLE))
+    ds_names = scan_site_names(str(BREEDING_SUBSET_BEAGLE))
+    kf_str, kd_str = site_intersection_masks(full_names, ds_names)
+    h_full = scan_site_hashes(str(BREEDING_BEAGLE))
+    h_ds = scan_site_hashes(str(BREEDING_SUBSET_BEAGLE))
+    assert h_full.size == len(full_names) and h_ds.size == len(ds_names)
+    kf_h, kd_h = site_intersection_masks_hashed(h_full, h_ds)
+    np.testing.assert_array_equal(kf_h, kf_str)
+    np.testing.assert_array_equal(kd_h, kd_str)
+
+
+def test_hashed_site_intersection_errors():
+    from wgsassign_tpu.io.beagle import site_intersection_masks_hashed
+
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    with pytest.raises(ValueError, match="disjoint"):
+        site_intersection_masks_hashed(a, np.array([9], dtype=np.uint64))
+    # order mismatch: common sites appear in a different order
+    with pytest.raises(ValueError, match="do not match after"):
+        site_intersection_masks_hashed(
+            a, np.array([3, 1], dtype=np.uint64)
+        )

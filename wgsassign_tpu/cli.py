@@ -246,12 +246,13 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
         keep_full = keep_ds = None
         if args.loo_downsampled_beagle:
             # streamed form of the reference's downsampled-LOO site
-            # intersection: one O(M)-names scan pass per file, then masked
+            # intersection: one hash-scan pass per file (O(M)*8 bytes of
+            # uint64 per host, no O(M) Python strings), then masked
             # streaming — the GL matrices still never exist on host
             from wgsassign_tpu.io.beagle import (
                 scan_header_samples,
-                scan_site_names,
-                site_intersection_masks,
+                scan_site_hashes,
+                site_intersection_masks_hashed,
             )
 
             if (scan_header_samples(args.beagle)
@@ -261,9 +262,9 @@ def _dispatch(args, runtime, timer, np, writers, read_beagle, read_ids,
                 )
             print("Scanning site names for the downsampled intersection.")
             with timer.phase("parse"):
-                keep_full, keep_ds = site_intersection_masks(
-                    scan_site_names(args.beagle),
-                    scan_site_names(args.loo_downsampled_beagle),
+                keep_full, keep_ds = site_intersection_masks_hashed(
+                    scan_site_hashes(args.beagle),
+                    scan_site_hashes(args.loo_downsampled_beagle),
                 )
         print("Streaming Beagle file to device in site blocks.")
         with timer.phase("parse"):

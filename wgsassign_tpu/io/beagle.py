@@ -27,7 +27,7 @@ import gzip
 import io as _io
 import os
 from dataclasses import dataclass
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -277,6 +277,63 @@ def scan_site_names(path: str) -> List[str]:
     return names
 
 
+def scan_site_hashes(path: str, m: Optional[int] = None) -> np.ndarray:
+    """64-bit content hashes of a Beagle file's site-name column, without
+    materializing the names.  One decompression pass; host memory is
+    O(M) * 8 bytes (a ``uint64`` array — the same order as the boolean
+    keep masks the intersection produces) instead of ``scan_site_names``'s
+    O(M) Python strings (~hundreds of MB at 5M sites).  The hash is
+    keyed (blake2b, fixed key) and process-independent, so multi-host
+    processes computing masks independently agree bit-for-bit.  With a
+    64-bit digest, a collision among 5M names has probability ~7e-7 —
+    and a cross-file collision surfaces as the intersection order check
+    failing loudly, not as silent corruption."""
+    from hashlib import blake2b
+
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    out = np.empty(m if m is not None else 4096, dtype=np.uint64)
+    i = 0
+    with _open_maybe_gzip(path) as f:
+        f.readline()  # header
+        for line in f:
+            if not line.strip():
+                continue
+            tok = line.split(b"\t", 1)[0].split()[0]
+            if i == out.size:
+                out = np.concatenate([out, np.empty_like(out)])
+            out[i] = int.from_bytes(
+                blake2b(tok, digest_size=8).digest(), "little"
+            )
+            i += 1
+    return out[:i]
+
+
+def site_intersection_masks_hashed(h_full: np.ndarray, h_ds: np.ndarray):
+    """Order-preserving reciprocal site intersection (reference
+    WGSassign.py:176-196) computed on ``scan_site_hashes`` arrays —
+    vectorized ``np.isin`` over uint64 instead of Python set membership
+    over strings.  Same keep-mask semantics as
+    :func:`site_intersection_masks`."""
+    keep_full = np.isin(h_full, h_ds)
+    kept = h_full[keep_full]
+    if kept.size == 0:
+        raise ValueError(
+            "No common sites between the reference and downsampled Beagle "
+            "files — the site-name columns are disjoint."
+        )
+    keep_ds = np.isin(h_ds, kept)
+    if not np.array_equal(h_ds[keep_ds], kept):
+        raise ValueError(
+            "Site names in full and downsampled Beagle do not match after "
+            "filtering."
+        )
+    print(f"\tRetained {kept.size} common sites "
+          f"({h_full.size - kept.size} filtered from the reference, "
+          f"{h_ds.size - kept.size} from the downsampled set).")
+    return keep_full, keep_ds
+
+
 def site_intersection_masks(names_full, names_ds):
     """Order-preserving reciprocal site intersection (the reference's
     downsampled-LOO rule, WGSassign.py:176-196) as boolean keep masks over
@@ -373,8 +430,8 @@ def sharded_downsampled_pair(
         raise ValueError(
             "Sample names in downsampled Beagle file do not match original."
         )
-    keep_full, keep_ds = site_intersection_masks(
-        scan_site_names(beagle_path), scan_site_names(downsampled_path)
+    keep_full, keep_ds = site_intersection_masks_hashed(
+        scan_site_hashes(beagle_path), scan_site_hashes(downsampled_path)
     )
     full = read_beagle_sharded_filtered(
         beagle_path, runtime, keep_full, site_multiple, n_threads
