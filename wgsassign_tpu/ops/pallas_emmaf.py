@@ -677,8 +677,8 @@ def max_fused_loo_members() -> int:
     return min(np8, 1024)
 
 
-def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
-                      *, T: int, NP_PAD: int, n_real: int,
+def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, nreal_ref,
+                      ftout_ref, sq_ref, *, T: int, NP_PAD: int,
                       fast_math: bool = False):
     import jax.experimental.pallas as pl
 
@@ -693,10 +693,15 @@ def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (NP_PAD, 1), 0)
     # member i participates in problem j iff i != j and i is real — the
     # same mask-multiply n-term sum as the XLA path (float32 rounding,
-    # trajectories and iteration counts stay bit-identical)
+    # trajectories and iteration counts stay bit-identical).  n_real is a
+    # RUNTIME scalar so one compiled program serves every population with
+    # the same padded member count (K compile classes -> #distinct
+    # np_pad; f32 division of the exact small integer is correctly
+    # rounded, identical to the former compile-time constant).
+    n_real = nreal_ref[0, 0, 0]
     keep = ((row != j) & (row < n_real)).astype(_F32)
     lim = limits_ref[0, 0, 0]   # scalar update limit for this problem
-    inv = 1.0 / (n_real - 1.0)
+    inv = 1.0 / (n_real.astype(_F32) - 1.0)
     f = ft_ref[0]               # [1, tile] — problem j's AF on this tile
 
     acc = []
@@ -714,9 +719,9 @@ def _loo_chunk_kernel(g0_ref, g1_ref, ft_ref, limits_ref, ftout_ref, sq_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "T", "interpret", "fast_math")
+    jax.jit, static_argnames=("T", "interpret", "fast_math")
 )
-def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
+def loo_chunk_pallas(g0p, g1p, ft, limits, n_real, T: int,
                      interpret: bool = False, fast_math: bool = False):
     """One chunk of T fused LOO EM iterations for one population.
 
@@ -728,7 +733,9 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
         ``EM_EPS`` — their fixed point, so they add 0 to the partials).
       limits: float32 ``[1, np_pad]`` per-problem update limits (<= T;
         0 for padded problem rows).
-      n_real: real member count (the LOO divisor is ``n_real - 1``).
+      n_real: real member count (the LOO divisor is ``n_real - 1``) — a
+        RUNTIME value, so one compiled program per ``np_pad`` serves all
+        populations (the cold-start shape-class dedup, VERDICT r4 #6).
       T: chunk length (static).
 
     Returns ``(ft_new [np_pad, M], sq [T, np_pad])``.
@@ -745,8 +752,7 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
         )
     grid = (np_pad, m // tile)  # problems outer, site tiles inner
     kernel = functools.partial(
-        _loo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real,
-        fast_math=fast_math,
+        _loo_chunk_kernel, T=T, NP_PAD=np_pad, fast_math=fast_math,
     )
     # per-problem state/limits/partials travel with a leading problem axis
     # whose block size is 1 (Mosaic's block rules apply to the last two
@@ -754,6 +760,7 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
     # every problem row to the same block
     ft3 = ft.reshape(np_pad, 1, m)
     limits3 = limits.reshape(np_pad, 1, 1)
+    nreal3 = jnp.asarray(n_real, jnp.int32).reshape(1, 1, 1)
     ft_new, sq = pl.pallas_call(
         kernel,
         grid=grid,
@@ -765,6 +772,8 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
             pl.BlockSpec((1, 1, tile), lambda j, s: (j, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda j, s: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda j, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -783,18 +792,19 @@ def loo_chunk_pallas(g0p, g1p, ft, limits, n_real: int, T: int,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(g0p, g1p, ft3, limits3)
+    )(g0p, g1p, ft3, limits3, nreal3)
     return ft_new.reshape(np_pad, m), sq[:, :, 0].T
 
 
-# One traced shard_map program per (mesh, n_real, T, interpret) — the LOO
-# analogue of _SHARDED_CHUNK_CACHE.
+# One traced shard_map program per (mesh, T, interpret) — the LOO
+# analogue of _SHARDED_CHUNK_CACHE.  n_real travels as a replicated
+# runtime scalar, so all populations with one np_pad share one program.
 _SHARDED_LOO_CACHE = {}
 
 
-def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
+def _sharded_loo_chunk_fn(mesh, T: int, interpret: bool,
                           fast_math: bool = False):
-    key = (mesh, n_real, T, interpret, fast_math)
+    key = (mesh, T, interpret, fast_math)
     fn = _SHARDED_LOO_CACHE.get(key)
     if fn is not None:
         return fn
@@ -806,9 +816,9 @@ def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
 
     from wgsassign_tpu.parallel.mesh import SNP_AXIS
 
-    def body(g0s, g1s, fts, limits_s):
+    def body(g0s, g1s, fts, limits_s, nreal_s):
         ft_new, sq = loo_chunk_pallas(
-            g0s, g1s, fts, limits_s, n_real, T, interpret=interpret,
+            g0s, g1s, fts, limits_s, nreal_s[0], T, interpret=interpret,
             fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
@@ -818,7 +828,7 @@ def _sharded_loo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
         mesh=mesh,
         in_specs=(
             P(None, SNP_AXIS), P(None, SNP_AXIS), P(None, SNP_AXIS),
-            P(None, None),
+            P(None, None), P(None),
         ),
         out_specs=(P(None, SNP_AXIS), P(None, None)),
         check_vma=False,
@@ -837,9 +847,9 @@ MAX_FUSED_LOO_MEMBERS = max_fused_loo_members()
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "n_real", "T", "interpret", "fast_math"),
+    static_argnames=("size", "T", "interpret", "fast_math"),
 )
-def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real: int, T: int,
+def _loo_chunk_block(g0p, g1p, ft, limits, lo, size, n_real, T: int,
                      interpret: bool, fast_math: bool = False):
     """One site block of a fused LOO chunk: slice the member panels and AF
     state inside jit (so only the block's layout-converted pallas copies
@@ -951,15 +961,17 @@ def em_maf_loo_group_fused(
 
         block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
 
+        nreal_arr = np.asarray([n_p], np.int32)
+
         def run_block(lo, hi, ft_in, limits_arr, T):
-            fn = _sharded_loo_chunk_fn(runtime.mesh, n_p, T, interpret,
+            fn = _sharded_loo_chunk_fn(runtime.mesh, T, interpret,
                                        fast_math)
             if lo == 0 and hi == m:
-                return fn(g0p, g1p, ft_in, limits_arr)
+                return fn(g0p, g1p, ft_in, limits_arr, nreal_arr)
             # static slices of sharded arrays stay shard-local (bounds are
             # aligned to n_devices * 256)
             return fn(g0p[:, lo:hi], g1p[:, lo:hi], ft_in[:, lo:hi],
-                      limits_arr)
+                      limits_arr, nreal_arr)
 
     else:
         def put_ft(arr):
@@ -967,17 +979,19 @@ def em_maf_loo_group_fused(
 
         block_m = _loo_stream_block(m, np_pad, 128)
 
+        nreal_s = np.int32(n_p)
+
         def run_block(lo, hi, ft_in, limits_arr, T):
             if lo == 0 and hi == m:
                 return loo_chunk_pallas(
-                    g0p, g1p, ft_in, limits_arr, n_p, T,
+                    g0p, g1p, ft_in, limits_arr, nreal_s, T,
                     interpret=interpret, fast_math=fast_math,
                 )
             # dynamic_slice keyed on block *size* so all full blocks share
             # one compiled program (+1 for the tail block)
             return _loo_chunk_block(
                 g0p, g1p, ft_in, limits_arr,
-                jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
+                jnp.asarray(lo, jnp.int32), hi - lo, nreal_s, T, interpret,
                 fast_math,
             )
 
@@ -1158,8 +1172,8 @@ def sites_chunk_pallas(g0p, g1p, ft, member_mask, site_weight, limits,
 
 
 def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
-                       limits_ref, ftout_ref, sq_ref,
-                       *, T: int, NP_PAD: int, n_real: int,
+                       limits_ref, nreal_ref, ftout_ref, sq_ref,
+                       *, T: int, NP_PAD: int,
                        fast_math: bool = False):
     import jax.experimental.pallas as pl
 
@@ -1172,9 +1186,13 @@ def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
     g2 = 1.0 - g0 - g1          # iteration-invariant
     row = jax.lax.broadcasted_iota(jnp.int32, (NP_PAD, 1), 0)
     lv = leave_ref[0, 0, 0]     # member row this problem leaves out
+    # runtime member count — one compiled program per np_pad serves every
+    # population (see _loo_chunk_kernel; f32 division of the exact small
+    # integer is correctly rounded, identical to a baked-in constant)
+    n_real = nreal_ref[0, 0, 0]
     keep = ((row != lv) & (row < n_real)).astype(_F32)
     lim = limits_ref[0, 0, 0]   # scalar update limit for this problem
-    inv = 1.0 / (n_real - 1.0)
+    inv = 1.0 / (n_real.astype(_F32) - 1.0)
     sw = sw_ref[0]              # [1, tile] — this problem's kept-site mask
     f = ft_ref[0]               # [1, tile]
 
@@ -1195,9 +1213,9 @@ def _zloo_chunk_kernel(g0_ref, g1_ref, ft_ref, sw_ref, leave_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "T", "interpret", "fast_math")
+    jax.jit, static_argnames=("T", "interpret", "fast_math")
 )
-def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
+def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real, T: int,
                       interpret: bool = False, fast_math: bool = False):
     """One chunk of T fused LOO-subset EM iterations.
 
@@ -1225,9 +1243,9 @@ def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
         )
     grid = (b, m // tile)  # problems outer, site tiles inner
     kernel = functools.partial(
-        _zloo_chunk_kernel, T=T, NP_PAD=np_pad, n_real=n_real,
-        fast_math=fast_math,
+        _zloo_chunk_kernel, T=T, NP_PAD=np_pad, fast_math=fast_math,
     )
+    nreal3 = jnp.asarray(n_real, jnp.int32).reshape(1, 1, 1)
     ft_new, sq = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1244,6 +1262,8 @@ def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile), lambda i, s: (i, 0, s),
@@ -1259,17 +1279,18 @@ def zloo_chunk_pallas(g0p, g1p, ft, sw, leave, limits, n_real: int, T: int,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(g0p, g1p, ft, sw, leave, limits)
+    )(g0p, g1p, ft, sw, leave, limits, nreal3)
     return ft_new, sq[:, :, 0].T
 
 
-# One traced shard_map program per (mesh, n_real, T, interpret).
+# One traced shard_map program per (mesh, T, interpret) — n_real travels
+# as a replicated runtime scalar (shape-class dedup, see the LOO cache).
 _SHARDED_ZLOO_CACHE = {}
 
 
-def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
+def _sharded_zloo_chunk_fn(mesh, T: int, interpret: bool,
                            fast_math: bool = False):
-    key = (mesh, n_real, T, interpret, fast_math)
+    key = (mesh, T, interpret, fast_math)
     fn = _SHARDED_ZLOO_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1281,9 +1302,9 @@ def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
 
     from wgsassign_tpu.parallel.mesh import SNP_AXIS
 
-    def body(g0s, g1s, fts, sws, leave_s, limits_s):
+    def body(g0s, g1s, fts, sws, leave_s, limits_s, nreal_s):
         ft_new, sq = zloo_chunk_pallas(
-            g0s, g1s, fts, sws, leave_s, limits_s, n_real, T,
+            g0s, g1s, fts, sws, leave_s, limits_s, nreal_s[0], T,
             interpret=interpret, fast_math=fast_math,
         )
         return ft_new, jax.lax.psum(sq, SNP_AXIS)
@@ -1294,7 +1315,7 @@ def _sharded_zloo_chunk_fn(mesh, n_real: int, T: int, interpret: bool,
         in_specs=(
             P(None, SNP_AXIS), P(None, SNP_AXIS),
             P(None, None, SNP_AXIS), P(None, None, SNP_AXIS),
-            P(None, None, None), P(None, None, None),
+            P(None, None, None), P(None, None, None), P(None),
         ),
         out_specs=(P(None, None, SNP_AXIS), P(None, None)),
         check_vma=False,
@@ -1374,13 +1395,16 @@ def em_maf_loo_subset_fused(
 
         block_m = _loo_stream_block(m, np_pad, 256 * runtime.n_devices)
 
+        nreal_arr = np.asarray([n_p], np.int32)
+
         def run_block(lo, hi, ft_in, sw_in, limits_arr, T):
-            fn = _sharded_zloo_chunk_fn(runtime.mesh, n_p, T, interpret,
+            fn = _sharded_zloo_chunk_fn(runtime.mesh, T, interpret,
                                         fast_math)
             if lo == 0 and hi == m:
-                return fn(g0p, g1p, ft_in, sw_in, leave3, limits_arr)
+                return fn(g0p, g1p, ft_in, sw_in, leave3, limits_arr,
+                          nreal_arr)
             return fn(g0p[:, lo:hi], g1p[:, lo:hi], ft_in[:, :, lo:hi],
-                      sw_in[:, :, lo:hi], leave3, limits_arr)
+                      sw_in[:, :, lo:hi], leave3, limits_arr, nreal_arr)
 
     else:
         leave3 = jnp.asarray(leave3_h)
@@ -1390,15 +1414,17 @@ def em_maf_loo_subset_fused(
 
         block_m = _loo_stream_block(m, np_pad, 128)
 
+        nreal_s = np.int32(n_p)
+
         def run_block(lo, hi, ft_in, sw_in, limits_arr, T):
             if lo == 0 and hi == m:
                 return zloo_chunk_pallas(
-                    g0p, g1p, ft_in, sw_in, leave3, limits_arr, n_p, T,
+                    g0p, g1p, ft_in, sw_in, leave3, limits_arr, nreal_s, T,
                     interpret=interpret, fast_math=fast_math,
                 )
             return _zloo_chunk_block(
                 g0p, g1p, ft_in, sw_in, leave3, limits_arr,
-                jnp.asarray(lo, jnp.int32), hi - lo, n_p, T, interpret,
+                jnp.asarray(lo, jnp.int32), hi - lo, nreal_s, T, interpret,
                 fast_math,
             )
 
@@ -1429,10 +1455,10 @@ def em_maf_loo_subset_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "n_real", "T", "interpret", "fast_math"),
+    static_argnames=("size", "T", "interpret", "fast_math"),
 )
 def _zloo_chunk_block(g0p, g1p, ft, sw, leave, limits, lo, size,
-                      n_real: int, T: int, interpret: bool,
+                      n_real, T: int, interpret: bool,
                       fast_math: bool = False):
     """One site block of a fused LOO-subset chunk (HBM-peak control, as in
     _loo_chunk_block)."""
