@@ -132,7 +132,9 @@ def main():
                 for p in pathlib.Path(td).glob(f"run{r}*"):
                     p.rename(pathlib.Path(args.data_dir) / p.name)
 
-    warm = min(walls[1:]) if len(walls) > 1 else walls[0]
+    warm_idx = (min(range(1, len(walls)), key=walls.__getitem__)
+                if len(walls) > 1 else 0)
+    warm = walls[warm_idx]
     ref_scaled = REF_SECONDS * (args.m * args.n**2) / (REF_M * REF_N**2)
     print(json.dumps({
         "workload": "file_to_output_loo",
@@ -143,7 +145,7 @@ def main():
         "first_process_wall_s": round(walls[0], 1),
         "warm_process_wall_s": round(warm, 1),
         "phases_warm_s": {k_: round(v, 1)
-                          for k_, v in phase_list[-1].items()},
+                          for k_, v in phase_list[warm_idx].items()},
         "reference_seconds_scaled": round(ref_scaled, 1),
         "speedup_vs_reference_whole_run": round(ref_scaled / warm, 1),
         "note": "wall-clock of the actual CLI subprocess, gz parse and "

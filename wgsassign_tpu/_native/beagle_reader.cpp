@@ -135,6 +135,18 @@ inline const char* skip_token(const char* p, const char* end) {
   return p;
 }
 
+// Skip one token but REQUIRE it to be present (non-empty before the line
+// end).  Used for the third GL of each individual: its value is never
+// stored (g2 is reconstructed as 1-g0-g1 downstream, the reference's
+// 2-of-3 contract, reader_cy.pyx:62-66), so paying the full float parse
+// for it wasted ~1/3 of tokenizer time; column-count validation is kept.
+inline const char* skip_required_token(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  if (p >= end || *p == '\n' || *p == '\r') return nullptr;
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;
+  return p;
+}
+
 void parse_chunk(Chunk* chunk, int64_t n_inds) {
   const char* p = chunk->data.data();
   const char* end = p + chunk->data.size();
@@ -165,12 +177,14 @@ void parse_chunk(Chunk* chunk, int64_t n_inds) {
     // skip allele1, allele2
     const char* q = skip_token(tok_end, line_end);
     q = skip_token(q, line_end);
-    // 3 GLs per individual; keep the first two
+    // 3 GLs per individual; keep the first two, skip (but require) the
+    // third — it is dropped anyway and a presence check preserves the
+    // column-count validation at a third less float-parse work
     for (int64_t i = 0; i < n_inds; ++i) {
-      float g0, g1, g2;
+      float g0, g1;
       const char* a = parse_float(q, line_end, &g0);
       const char* b = a ? parse_float(a, line_end, &g1) : nullptr;
-      const char* c = b ? parse_float(b, line_end, &g2) : nullptr;
+      const char* c = b ? skip_required_token(b, line_end) : nullptr;
       if (!c) {
         chunk->error = "row has fewer/invalid columns vs the header";
         return;
