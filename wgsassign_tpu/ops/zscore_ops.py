@@ -90,62 +90,68 @@ def zscore_sums_batch(g0k, g1k, a, weight, split_rows, split_mask,
     )
 
 
-def _zscore_sums_t(g0k, g1k, a, weight, split_rows_t, split_mask_t,
-                   like_tab, fact_tab):
-    """Transposed-core z sums: the split axis is the MAJOR dimension
-    (``[C, S]``) and the combo tables are consumed as three ``[R]``
-    genotype vectors.  The ``[S, C]``/``[S, C, 3]`` orientation of
-    :func:`zscore_sums` puts a tiny axis minor, which TPU HBM tiling pads
-    to 128 lanes — a measured 43-128x HLO-temp expansion that OOM'd a
-    16 GB chip on 2M-site blocks; site-minor keeps every big tensor
-    unpadded."""
-    p0 = (1.0 - a) * (1.0 - a)
-    p1 = 2.0 * (1.0 - a) * a
-    p2 = a * a
-
-    w_obs_site = jnp.log(g0k * p0 + g1k * p1 + (1.0 - g0k - g1k) * p2)
-
-    mg0 = like_tab[:, 0][split_rows_t]  # [C, S]
-    mg1 = like_tab[:, 1][split_rows_t]
-    mg2 = like_tab[:, 2][split_rows_t]
-    rp0 = fact_tab[:, 0][split_rows_t]
-    rp1 = fact_tab[:, 1][split_rows_t]
-    rp2 = fact_tab[:, 2][split_rows_t]
-    lg = jnp.log(mg0 * p0[None, :] + mg1 * p1[None, :] + mg2 * p2[None, :])
-    wt = (
-        rp0 * p0[None, :] + rp1 * p1[None, :] + rp2 * p2[None, :]
-    ) * split_mask_t
-    w_mu_site = jnp.sum(lg * wt, axis=0)
-    w_var_site = jnp.sum((w_mu_site[None, :] - lg) ** 2 * wt, axis=0)
-
-    w_obs = jnp.sum(w_obs_site * weight)
-    w_mu = jnp.sum(w_mu_site * weight)
-    w_var = jnp.sum(w_var_site * weight)
-    return w_obs, w_mu, w_var
-
-
 @jax.jit
 def zscore_sums_batch_compact(g0k, g1k, a, weight, site_depth,
                               rows_by_depth, like_tab, fact_tab):
     """As :func:`zscore_sums_batch`, but the split tables are expanded ON
-    DEVICE from compact per-site depths, in site-minor layout.
+    DEVICE from compact per-site depths, with the split axis rolled into
+    an unrolled C-step loop so only ``[S]`` temporaries are ever live.
 
-    The host-expanded ``[B, S, C]`` tables cost ``8·C`` bytes/site to
-    ship host→device — ~2.3 GB per production-scale block, which over a
-    ~90 MB/s tunneled link dominated the whole z pipeline; the ``[B, S]``
-    int32 depth vector is 4 bytes/site, and ``rows_by_depth``
-    (``[B, D, C]``, the combo-table row of split ``c`` at depth ``d``) is
-    tiny.  The split mask is just ``c <= depth`` (all splits of a kept
-    depth exist, by the depth-class filter).
+    Two memory properties, both load-bearing at production scale:
+
+    * the host-expanded ``[B, S, C]`` tables cost ``8·C`` bytes/site to
+      ship host→device — ~2.3 GB per production-scale block over a
+      ~90 MB/s tunneled link; the ``[B, S]`` int32 depth vector is
+      4 bytes/site, and ``rows_by_depth`` (``[B, D, C]``, the combo-table
+      row of split ``c`` at depth ``d``) is tiny.  The split mask is just
+      ``c <= depth`` (all splits of a kept depth exist, by the depth-class
+      filter).
+    * the earlier ``[C, S]`` materialization held ~8 C-wide temporaries
+      (~68·C bytes/site of HLO temps), which capped the z-sums block at
+      b=1 individual at 2M sites — every individual then paid its own
+      dispatch round trips (measured: the z pipeline's dominant cost at
+      2M x 180).  The c-loop recomputes the split's log term in a second
+      pass for the exact ``(w_mu - lg)^2`` variance form instead of
+      holding lg; ~1 GFLOP/individual of recompute against a ~45x
+      temp-footprint cut.
     """
     def one(g0k_i, g1k_i, a_i, w_i, d_i, rbd_i, lt_i, ft_i):
-        c = rbd_i.shape[1]
-        rows_t = jnp.take(rbd_i.T, d_i, axis=1)          # [C, S]
-        mask_t = (
-            jnp.arange(c)[:, None] <= d_i[None, :]
-        ).astype(_F32)
-        return _zscore_sums_t(
-            g0k_i, g1k_i, a_i, w_i, rows_t, mask_t, lt_i, ft_i
+        c_max = rbd_i.shape[1]
+        p0 = (1.0 - a_i) * (1.0 - a_i)
+        p1 = 2.0 * (1.0 - a_i) * a_i
+        p2 = a_i * a_i
+        w_obs_site = jnp.log(
+            g0k_i * p0 + g1k_i * p1 + (1.0 - g0k_i - g1k_i) * p2
+        )
+
+        def split_terms(c):
+            rows_c = rbd_i[:, c][d_i]                      # [S]
+            mask_c = (c <= d_i).astype(_F32)
+            lg = jnp.log(
+                lt_i[:, 0][rows_c] * p0
+                + lt_i[:, 1][rows_c] * p1
+                + lt_i[:, 2][rows_c] * p2
+            )
+            wt = (
+                ft_i[:, 0][rows_c] * p0
+                + ft_i[:, 1][rows_c] * p1
+                + ft_i[:, 2][rows_c] * p2
+            ) * mask_c
+            return lg, wt
+
+        w_mu_site = jnp.zeros_like(a_i)
+        for c in range(c_max):
+            lg, wt = split_terms(c)
+            w_mu_site = w_mu_site + lg * wt
+        w_var_site = jnp.zeros_like(a_i)
+        for c in range(c_max):
+            lg, wt = split_terms(c)
+            w_var_site = w_var_site + (w_mu_site - lg) ** 2 * wt
+
+        return (
+            jnp.sum(w_obs_site * w_i),
+            jnp.sum(w_mu_site * w_i),
+            jnp.sum(w_var_site * w_i),
         )
 
     return jax.vmap(one)(
