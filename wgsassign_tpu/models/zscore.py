@@ -56,8 +56,11 @@ Z_BLOCK_BYTES = 2 << 30
 # [1, s_pad] float32 rows (EM state, weights, AF), so the group spans
 # many z-sums blocks — decoupling it from Z_BLOCK_BYTES is what keeps
 # the per-block EM drives (and their per-chunk host syncs) from
-# multiplying at large site counts.
+# multiplying at large site counts.  AF_GROUP_MAX_INDS caps the group
+# against estimate error: the group's AF panel stays resident through
+# all of its z-sums blocks.
 AF_GROUP_BYTES = 1 << 30
+AF_GROUP_MAX_INDS = 64
 
 
 @dataclass
@@ -532,14 +535,16 @@ def _run_blocks(
     s_pad = _bucket(s_max, rt.site_multiple())
     c_pad = _bucket(c_max, 4)
     r_pad = _bucket(r_max, 4)
-    # per-individual device footprint of the z-sums call: with the
-    # C-step loop in zscore_sums_batch_compact only [S]-wide temporaries
-    # are live (~10 f32/i32 buffers: gathered GL/AF/weight/depth inputs
-    # plus rows/lg/wt/accumulators) — the earlier [C, S] materialization
-    # cost ~68·C bytes/site and capped 2M-site blocks at b=1, serializing
-    # a dispatch round trip per individual.  96 bytes/site keeps slack
-    # for fusion-boundary copies; underestimating OOM'd a 16 GB chip.
-    per_ind = s_pad * 96
+    # per-individual device footprint of the z-sums call: the scalar-
+    # broadcast (depth, split) form in zscore_sums_batch_compact keeps
+    # only [S]-wide temporaries, but XLA's schedule of the unrolled loop
+    # holds tens of them live (measured: 96 bytes/site OOM'd a 16 GB
+    # chip at 2M sites with the group AF panel resident; 256 runs).
+    # Still ~4x more individuals per dispatch than the old [C, S]
+    # materialization at C=16, and the kernel itself is pure elementwise
+    # VPU work instead of the [S, C] table gathers that dominated the
+    # z pipeline.
+    per_ind = s_pad * 256
     budget = Z_BLOCK_BYTES if block_bytes is None else block_bytes
     b = int(max(1, min(len(inds), budget // max(per_ind, 1))))
 
@@ -559,7 +564,9 @@ def _run_blocks(
         sum(t.keep_sites.size for t in tables.values())
     ) / max(len(inds) * max(cohort.m_real, 1), 1)
     per_ind_af = max(per_ind_bytes_extra(s_pad, fill), 4 * s_pad)
-    b_af = int(max(b, min(len(inds), AF_GROUP_BYTES // per_ind_af)))
+    b_af = int(max(b, min(
+        len(inds), AF_GROUP_MAX_INDS, AF_GROUP_BYTES // per_ind_af
+    )))
 
     for glo in range(0, len(inds), b_af):
         g_inds = inds[glo : glo + b_af]
@@ -838,7 +845,8 @@ def assignment_z_scores(
 
     return _run_blocks(
         cohort, beagle, ad, ind_start, ind_end, af_block,
-        lambda s, fill: 4 * s,
+        # keep-index upload (int32) + AF output + gather index temps
+        lambda s, fill: 16 * s,
         n_threshold, single_read_threshold, verbose, block_bytes,
         error_rate,
     )

@@ -109,11 +109,12 @@ def zscore_sums_batch_compact(g0k, g1k, a, weight, site_depth,
     * the earlier ``[C, S]`` materialization held ~8 C-wide temporaries
       (~68·C bytes/site of HLO temps), which capped the z-sums block at
       b=1 individual at 2M sites — every individual then paid its own
-      dispatch round trips (measured: the z pipeline's dominant cost at
-      2M x 180).  The c-loop recomputes the split's log term in a second
-      pass for the exact ``(w_mu - lg)^2`` variance form instead of
-      holding lg; ~1 GFLOP/individual of recompute against a ~45x
-      temp-footprint cut.
+      dispatch round trips, and its ``[S, C]``-shaped table gathers were
+      themselves the dominant device cost of the whole z pipeline
+      (measured at 2M x 180).  The (depth, split) loop below has NEITHER
+      problem: scalar table rows broadcast over [S], so the kernel is
+      pure fusable elementwise VPU work with a handful of [S] live
+      buffers.
     """
     def one(g0k_i, g1k_i, a_i, w_i, d_i, rbd_i, lt_i, ft_i):
         c_max = rbd_i.shape[1]
@@ -124,29 +125,38 @@ def zscore_sums_batch_compact(g0k, g1k, a, weight, site_depth,
             g0k_i * p0 + g1k_i * p1 + (1.0 - g0k_i - g1k_i) * p2
         )
 
-        def split_terms(c):
-            rows_c = rbd_i[:, c][d_i]                      # [S]
-            mask_c = (c <= d_i).astype(_F32)
-            lg = jnp.log(
-                lt_i[:, 0][rows_c] * p0
-                + lt_i[:, 1][rows_c] * p1
-                + lt_i[:, 2][rows_c] * p2
-            )
-            wt = (
-                ft_i[:, 0][rows_c] * p0
-                + ft_i[:, 1][rows_c] * p1
-                + ft_i[:, 2][rows_c] * p2
-            ) * mask_c
+        # Key structure: for a FIXED (depth d, split x) the combo-table
+        # row is one SCALAR index (rbd_i[d, x]), so the mean-GL/read-prob
+        # values broadcast as scalars and each term is pure elementwise
+        # [S] math — no [S]-wide gathers at all.  (Gather-based forms —
+        # [S, C] tables or per-split [S] row gathers — lower to slow TPU
+        # gathers over tens of MB and dominated the whole z pipeline at
+        # 2M sites.)  Sites select their depth's terms via (d_i == d)
+        # masks; the log term is recomputed in the variance pass instead
+        # of held, keeping live temporaries to a handful of [S] buffers.
+        def lgwt(d, x):
+            mg = lt_i[rbd_i[d, x]]   # [3] — scalar dynamic row
+            rp = ft_i[rbd_i[d, x]]
+            lg = jnp.log(mg[0] * p0 + mg[1] * p1 + mg[2] * p2)
+            wt = rp[0] * p0 + rp[1] * p1 + rp[2] * p2
             return lg, wt
 
         w_mu_site = jnp.zeros_like(a_i)
-        for c in range(c_max):
-            lg, wt = split_terms(c)
-            w_mu_site = w_mu_site + lg * wt
+        for d in range(c_max):
+            mask_d = (d_i == d).astype(_F32)
+            acc = jnp.zeros_like(a_i)
+            for x in range(d + 1):
+                lg, wt = lgwt(d, x)
+                acc = acc + lg * wt
+            w_mu_site = w_mu_site + mask_d * acc
         w_var_site = jnp.zeros_like(a_i)
-        for c in range(c_max):
-            lg, wt = split_terms(c)
-            w_var_site = w_var_site + (w_mu_site - lg) ** 2 * wt
+        for d in range(c_max):
+            mask_d = (d_i == d).astype(_F32)
+            acc = jnp.zeros_like(a_i)
+            for x in range(d + 1):
+                lg, wt = lgwt(d, x)
+                acc = acc + (w_mu_site - lg) ** 2 * wt
+            w_var_site = w_var_site + mask_d * acc
 
         return (
             jnp.sum(w_obs_site * w_i),
