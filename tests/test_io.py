@@ -161,6 +161,37 @@ def test_beagle_dims():
     assert beagle_dims(str(BREEDING_BEAGLE), use_native=False) == (449, 85)
 
 
+def test_beagle_dims_cache(tmp_path, monkeypatch):
+    """The dims sidecar cache memoizes (m, n) per (path, size, mtime) and
+    invalidates when the file changes — streamed ingest re-runs skip the
+    full decompression scan pass."""
+    import shutil
+
+    from wgsassign_tpu.io import beagle as bg
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    path = tmp_path / "dims.beagle.gz"
+    shutil.copy(BREEDING_BEAGLE, path)
+    assert bg.beagle_dims(str(path)) == (449, 85)
+    # hit: scanning is bypassed entirely
+    monkeypatch.setattr(
+        bg, "_beagle_dims_scan",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("rescanned")),
+    )
+    assert bg.beagle_dims(str(path)) == (449, 85)
+    # append a data row -> size/mtime change -> cache miss and rescan
+    monkeypatch.undo()
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    import gzip as _gz
+
+    with _gz.open(path, "rb") as f:
+        text = f.read()
+    row = text.rstrip(b"\n").rsplit(b"\n", 1)[-1]
+    with _gz.open(path, "wb") as f:
+        f.write(text + row + b"\n")
+    assert bg.beagle_dims(str(path)) == (450, 85)
+
+
 def test_disjoint_site_intersection_raises():
     from wgsassign_tpu.io.beagle import site_intersection_masks
 

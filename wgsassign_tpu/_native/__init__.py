@@ -46,15 +46,22 @@ class _AdResult(ctypes.Structure):
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _LIB, "-lz", "-lpthread",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (OSError, subprocess.SubprocessError):
-        return None
-    return _LIB
+    # The library is always compiled on the machine that runs it (lazy local
+    # build), so -march=native is safe and speeds up the SWAR token parse;
+    # retried without it for toolchains that reject the flag.
+    for extra in (["-march=native"], []):
+        cmd = [
+            "g++", "-O3", "-std=c++17", *extra, "-shared", "-fPIC", _SRC,
+            "-o", _LIB, "-lz", "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return _LIB
+        except subprocess.CalledProcessError:
+            continue
+        except (OSError, subprocess.SubprocessError):
+            return None
+    return None
 
 
 def _get_lib():

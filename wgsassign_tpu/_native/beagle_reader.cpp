@@ -76,6 +76,40 @@ int64_t count_data_lines(const char* p, const char* end) {
   return n;
 }
 
+// SWAR helpers for the dominant token shape "d.dddddd" (ANGSD/beagle GLs
+// are "%.6f"-formatted: one integer digit, '.', exactly six fraction
+// digits — 8 bytes).  One unaligned 8-byte load covers the whole token;
+// the '.' byte is spliced out and a '0' padded in front so the classic
+// 8-ASCII-digit SWAR reduction yields the 7-digit mantissa directly.
+// The arithmetic result is IDENTICAL to the general path below (same
+// integer mantissa, same double 1e-6 scale, same final float cast).
+inline uint64_t load_u64(const char* p) {
+  uint64_t w;
+  memcpy(&w, p, 8);
+  return w;
+}
+
+inline bool is_8_digits(uint64_t w) {
+  // every byte in '0'..'9'
+  return ((w & 0xF0F0F0F0F0F0F0F0ull) |
+          (((w + 0x0606060606060606ull) & 0xF0F0F0F0F0F0F0F0ull) >> 4)) ==
+         0x3333333333333333ull;
+}
+
+inline uint32_t parse_8_digits(uint64_t w) {
+  // bytes are most-significant-digit-first in memory (little-endian load)
+  w -= 0x3030303030303030ull;
+  w = w * 10 + (w >> 8);  // adjacent pairs
+  w = ((w & 0x000000FF000000FFull) * 0x000F424000000064ull +
+       ((w >> 16) & 0x000000FF000000FFull) * 0x0000271000000001ull) >>
+      32;
+  return static_cast<uint32_t>(w);
+}
+
+inline bool is_sep(char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
 // Fast float parse for the common fixed-format case ("0.799992",
 // "-1.5e-3"); falls back to strtod for anything unusual.  Returns nullptr
 // when no token is present before `end` (short row).
@@ -87,6 +121,17 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
   if (p < end && (*p == '-' || *p == '+')) {
     neg = (*p == '-');
     ++p;
+  }
+  // fast path: exactly "d.dddddd" followed by a separator
+  if (end - p >= 9 && p[1] == '.' && is_sep(p[8])) {
+    uint64_t w = load_u64(p);
+    // splice out the '.' (byte 1) and pad a leading '0'
+    uint64_t digits = ((w & 0xFF) | ((w >> 8) & ~0xFFull)) << 8 | 0x30;
+    if (is_8_digits(digits)) {
+      double v = static_cast<double>(parse_8_digits(digits)) * 1e-6;
+      *out = static_cast<float>(neg ? -v : v);
+      return p + 8;
+    }
   }
   int64_t mant = 0;
   int digits = 0;
@@ -143,6 +188,14 @@ inline const char* skip_token(const char* p, const char* end) {
 inline const char* skip_required_token(const char* p, const char* end) {
   while (p < end && (*p == ' ' || *p == '\t')) ++p;
   if (p >= end || *p == '\n' || *p == '\r') return nullptr;
+  // fast path: the fixed-width "d.dddddd" shape needs no per-char scan
+  // (the digit check keeps short tokens like "1.5\t2.0" off this path —
+  // a bare p[8]-separator test could jump two tokens at once)
+  if (end - p >= 9 && p[1] == '.' && is_sep(p[8])) {
+    uint64_t w = load_u64(p);
+    uint64_t digits = ((w & 0xFF) | ((w >> 8) & ~0xFFull)) << 8 | 0x30;
+    if (is_8_digits(digits)) return p + 8;
+  }
   while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;
   return p;
 }
@@ -286,18 +339,22 @@ BeagleResult* beagle_read_range(const char* path, int n_threads, int64_t lo,
   std::vector<Chunk*> chunks;
   std::vector<std::thread> workers;
   std::string carry;
-  std::vector<char> buf(kChunkSize);
   int64_t row_counter = 0;  // global data-row index of the next chunk start
+  const bool whole_file = (lo <= 0 && hi < 0);
   auto dispatch = [&](std::string text) {
-    int64_t c_lines = count_data_lines(text.data(), text.data() + text.size());
-    int64_t chunk_lo = row_counter;
-    row_counter += c_lines;
-    // overlap of this chunk's rows with the requested [lo, hi) window
-    int64_t skip = std::max<int64_t>(0, lo - chunk_lo);
-    int64_t take =
-        hi < 0 ? c_lines - skip
-               : std::min(row_counter, hi) - std::max(chunk_lo, lo);
-    if (take <= 0) return;  // entirely outside the window
+    int64_t skip = 0;
+    int64_t take = -1;  // whole-file: no producer-side line count needed
+    if (!whole_file) {
+      int64_t c_lines =
+          count_data_lines(text.data(), text.data() + text.size());
+      int64_t chunk_lo = row_counter;
+      row_counter += c_lines;
+      // overlap of this chunk's rows with the requested [lo, hi) window
+      skip = std::max<int64_t>(0, lo - chunk_lo);
+      take = hi < 0 ? c_lines - skip
+                    : std::min(row_counter, hi) - std::max(chunk_lo, lo);
+      if (take <= 0) return;  // entirely outside the window
+    }
     Chunk* c = new Chunk();
     c->data = std::move(text);
     c->skip = skip;
@@ -311,16 +368,23 @@ BeagleResult* beagle_read_range(const char* path, int n_threads, int64_t lo,
   };
   for (;;) {
     if (hi >= 0 && row_counter >= hi) break;  // window exhausted — stop early
-    int got = gzread(f, buf.data(), buf.size());
+    // inflate directly into the chunk-owned string (no bounce buffer)
+    std::string text = std::move(carry);
+    carry.clear();
+    size_t base = text.size();
+    text.resize(base + kChunkSize);
+    int got = gzread(f, &text[base], kChunkSize);
     if (got < 0) {
       for (auto& t : workers) t.join();
       gzclose(f);
       for (Chunk* d : chunks) delete d;
       return fail(r, "gzip stream error");
     }
-    if (got == 0) break;
-    std::string text = std::move(carry);
-    text.append(buf.data(), got);
+    text.resize(base + got);
+    if (got == 0) {
+      carry = std::move(text);
+      break;
+    }
     size_t last_nl = text.find_last_of('\n');
     if (last_nl == std::string::npos) {
       carry = std::move(text);
@@ -560,27 +624,28 @@ BeagleResult* beagle_stream_next(BeagleStreamHandle* s, int64_t max_rows) {
   }
 
   // 2) stream further chunks until the budget is met (or EOF)
-  std::vector<char> buf(kChunkSize);
   while (remaining > 0 && !s->eof && s->pending.empty()) {
-    int got = gzread(s->f, buf.data(), buf.size());
+    // inflate directly into the chunk-owned string (no bounce buffer)
+    std::string text = std::move(s->carry);
+    s->carry.clear();
+    size_t base = text.size();
+    text.resize(base + kChunkSize);
+    int got = gzread(s->f, &text[base], kChunkSize);
     if (got < 0) {
       for (auto& t : workers) t.join();
       for (Chunk* d : chunks) delete d;
       s->error = "gzip stream error";
       return fail(r, s->error);
     }
+    text.resize(base + got);
     if (got == 0) {
       s->eof = true;
-      if (!s->carry.empty()) {
-        s->carry.push_back('\n');
-        std::string text = std::move(s->carry);
-        s->carry.clear();
+      if (!text.empty()) {
+        text.push_back('\n');
         consume(std::move(text));
       }
       break;
     }
-    std::string text = std::move(s->carry);
-    text.append(buf.data(), got);
     size_t last_nl = text.find_last_of('\n');
     if (last_nl == std::string::npos) {
       s->carry = std::move(text);

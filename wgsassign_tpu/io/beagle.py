@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import json
 import os
 from dataclasses import dataclass
 from typing import List, Optional
@@ -223,12 +224,78 @@ def read_beagle(path: str, use_native: bool = True, row_range=None,
     return _read_beagle_python(path, row_range=row_range)
 
 
+def _dims_cache_path() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "wgsassign_tpu", "beagle_dims.json")
+
+
+def _dims_cache_key(path: str) -> Optional[str]:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return f"{os.path.realpath(path)}|{st.st_size}|{st.st_mtime_ns}"
+
+
+def _dims_cache_get(key: Optional[str]):
+    if key is None:
+        return None
+    try:
+        with open(_dims_cache_path()) as f:
+            entry = json.load(f).get(key)
+        if entry is not None:
+            return int(entry[0]), int(entry[1])
+    except (OSError, ValueError, TypeError):
+        pass
+    return None
+
+
+def _dims_cache_put(key: Optional[str], m: int, n: int) -> None:
+    if key is None:
+        return
+    cache_file = _dims_cache_path()
+    try:
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        try:
+            with open(cache_file) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        data[key] = [int(m), int(n)]
+        if len(data) > 256:  # keep the cache bounded; drop oldest inserts
+            data = dict(list(data.items())[-256:])
+        tmp = cache_file + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, cache_file)
+    except OSError:
+        pass  # cache is best-effort only
+
+
 def beagle_dims(path: str, use_native: bool = True):
     """Dimensions ``(m_sites, n_inds)`` of a Beagle file without parsing any
     genotype likelihoods — header column count + data-row count.  Multi-host
-    startup uses this to compute each process's row window."""
+    startup uses this to compute each process's row window.
+
+    The count costs a full decompression pass over the file, so results are
+    memoized in ``~/.cache/wgsassign_tpu/beagle_dims.json`` keyed by
+    (realpath, size, mtime): on re-runs against an unchanged file — the
+    common production loop — streamed ingest skips the scan pass entirely.
+    Best-effort: any cache I/O failure silently falls back to scanning."""
     if not os.path.isfile(path):
         raise FileNotFoundError(f"Beagle file doesn't exist: {path}")
+    key = _dims_cache_key(path)
+    cached = _dims_cache_get(key)
+    if cached is not None:
+        return cached
+    dims = _beagle_dims_scan(path, use_native)
+    _dims_cache_put(key, *dims)
+    return dims
+
+
+def _beagle_dims_scan(path: str, use_native: bool = True):
     if use_native:
         try:
             from wgsassign_tpu._native import beagle_dims_native
