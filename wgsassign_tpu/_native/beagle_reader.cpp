@@ -361,7 +361,7 @@ BeagleResult* beagle_read_range(const char* path, int n_threads, int64_t lo,
     c->take = take;
     chunks.push_back(c);
     workers.emplace_back(parse_chunk, c, n_inds);
-    if (static_cast<int>(workers.size()) >= n_threads) {
+    if (static_cast<int>(workers.size()) >= n_threads + 2) {
       workers.front().join();
       workers.erase(workers.begin());
     }
@@ -574,7 +574,7 @@ BeagleResult* beagle_stream_next(BeagleStreamHandle* s, int64_t max_rows) {
     c->take = lines;
     chunks.push_back(c);
     workers.emplace_back(parse_chunk, c, s->n_inds);
-    if (static_cast<int>(workers.size()) >= s->n_threads) {
+    if (static_cast<int>(workers.size()) >= s->n_threads + 2) {
       workers.front().join();
       workers.erase(workers.begin());
     }
@@ -957,7 +957,7 @@ AdResult* ad_read(const char* path, int n_threads) {
     c->cols = cols;
     chunks.push_back(c);
     workers.emplace_back(parse_int_chunk, c);
-    if (static_cast<int>(workers.size()) >= n_threads) {
+    if (static_cast<int>(workers.size()) >= n_threads + 2) {
       workers.front().join();
       workers.erase(workers.begin());
     }

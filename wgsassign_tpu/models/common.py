@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -136,21 +137,39 @@ def _stream_alloc(device, shape, fill):
     return fn()
 
 
-def _stream_update(dst, src, off):
-    """Donated in-place row-window write on the buffer's device.  ``off``
-    travels as a traced scalar so every offset shares one compilation."""
+def _stream_update2(dst0, dst1, src3, off):
+    """Donated in-place row-window write of BOTH GL planes from one
+    contiguous parser block.  The ``[b, N, 2]`` block is staged host->device
+    exactly as the tokenizer produced it (one transfer, no host-side
+    de-interleave copies); the per-plane split happens on device."""
     import jax
 
-    if not hasattr(_stream_update, "_fn"):
-        import jax.numpy as jnp  # noqa: F401
+    if not hasattr(_stream_update2, "_fn"):
+        def _upd(d0, d1, s, o):
+            return (
+                jax.lax.dynamic_update_slice(d0, s[:, :, 0], (o, 0)),
+                jax.lax.dynamic_update_slice(d1, s[:, :, 1], (o, 0)),
+            )
 
-        _stream_update._fn = jax.jit(
-            lambda d, s, o: jax.lax.dynamic_update_slice(d, s, (o, 0)),
-            donate_argnums=(0,),
-        )
+        _stream_update2._fn = jax.jit(_upd, donate_argnums=(0, 1))
     import numpy as _np
 
-    return _stream_update._fn(dst, src, _np.int32(off))
+    return _stream_update2._fn(dst0, dst1, src3, _np.int32(off))
+
+
+def _stream_overlap_default() -> bool:
+    """Whether parsing should overlap device placement (prefetch thread).
+
+    On hosts with few cores the tokenizer threads and the runtime's
+    host->device transfer machinery fight for the same CPUs; measured on a
+    2-core host the contended transfer collapses ~40x (1.3 GB/s -> 35 MB/s),
+    so strict parse/upload ALTERNATION is faster than overlap there.  With
+    >= 4 cores the transfer threads get their own core and overlap wins.
+    Override with WGSA_STREAM_OVERLAP=0/1."""
+    env = os.environ.get("WGSA_STREAM_OVERLAP")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return (os.cpu_count() or 1) >= 4
 
 
 def stream_to_device(
@@ -167,11 +186,14 @@ def stream_to_device(
     blocks, without ever materializing the full ``[M, N, 2]`` matrix on the
     host (the reference holds all of M resident, reader_cy.pyx:71).
 
-    Pipeline: a prefetch thread parses block i+1 while block i is written
-    into per-device buffers via a donated ``dynamic_update_slice``
-    (in-place on device); the buffers are assembled into global
-    SNP-sharded arrays at the end.  Peak host memory is O(block); M is
-    bounded by aggregate device HBM, not host RAM.
+    Pipeline: each parsed block is written into per-device buffers via one
+    donated ``dynamic_update_slice`` transfer (in-place on device, planes
+    split device-side); the buffers are assembled into global SNP-sharded
+    arrays at the end.  Peak host memory is O(block); M is bounded by
+    aggregate device HBM, not host RAM.  On hosts with >= 4 cores a
+    prefetch thread parses block i+1 while block i transfers; on smaller
+    hosts parse and transfer strictly alternate instead (see
+    :func:`_stream_overlap_default`).
 
     Multi-host: each process streams only its own contiguous row window
     (rows before it are decompressed and line-counted, never
@@ -296,8 +318,10 @@ def stream_to_device(
                for d in my_pos}
 
     site_names = [] if collect_site_names else None
+    overlap = _stream_overlap_default()
+    block_iter = prefetch(blocks) if overlap else iter(blocks)
     wlo = 0  # rows of this process's window placed so far
-    for gl_block, names in prefetch(blocks):
+    for gl_block, names in block_iter:
         b = gl_block.shape[0]
         if lo_p + wlo + b > hi_p:
             raise ValueError(
@@ -310,17 +334,25 @@ def stream_to_device(
             di = gpos // per_dev
             doff = gpos % per_dev
             take = min(b - done, per_dev - doff)
-            g0_bufs[di] = _stream_update(
-                g0_bufs[di],
-                np.ascontiguousarray(gl_block[done : done + take, :, 0]),
-                doff,
-            )
-            g1_bufs[di] = _stream_update(
-                g1_bufs[di],
-                np.ascontiguousarray(gl_block[done : done + take, :, 1]),
-                doff,
+            # one contiguous [take, N, 2] transfer; planes split on device
+            src = gl_block[done : done + take]
+            if not overlap:
+                # strict parse/upload alternation: stage the block with an
+                # explicit device_put and wait for the TRANSFER itself
+                # before the tokenizer threads take the CPUs back.  Waiting
+                # on the donated-update result is not enough — the runtime
+                # streams a numpy argument asynchronously, so the client-
+                # side transfer work would land in the next parse window
+                # and the two would contend anyway (measured ~40x transfer
+                # collapse on a 2-core host; see _stream_overlap_default).
+                src = jax.device_put(src, mesh_devs[di])
+                src.block_until_ready()
+            g0_bufs[di], g1_bufs[di] = _stream_update2(
+                g0_bufs[di], g1_bufs[di], src, doff,
             )
             done += take
+        if not overlap:
+            g0_bufs[di].block_until_ready()
         if site_names is not None:
             site_names.extend(names)
         wlo += b
